@@ -1,0 +1,492 @@
+"""F-Lite DiT — latent flow-matching diffusion transformer, TPU-native.
+
+One configurable class covers every reference variant (SURVEY.md §0.1):
+- v1 (`/root/reference/f_lite/model.py:417-591`): shared whole-model AdaLN,
+  cross-attention in blocks `idx % 4 == 0 or idx < 8`;
+- v2 (`/root/reference/f_lite/model_v2.py:425`): per-block AdaLN heads,
+  cross-attention in every block (without v2's double-repeat timestep bug,
+  SURVEY.md §0.1.4);
+- released 10B (`/root/reference/f_lite/pt.py:85-95`): `residual_v` value
+  residual (tech report p.4; in-repo code never defines it — we implement
+  value-residual learning a la arXiv:2410.17897: per-block learnable mix of
+  each block's V with the first block's V).
+
+Design departures from the CUDA reference, deliberate and TPU-first:
+- static padded text + key-padding mask instead of flash-attn varlen packing
+  (`model.py:31-89`): image/register tokens are dense, so only cross-attn
+  needs a mask; attention runs through a Pallas flash kernel on TPU.
+- NHWC layout; the Conv2d patch embed (`model.py:318-331`) becomes
+  patchify + matmul (identical math, MXU-shaped).
+- RoPE tables built at trace time for the static (h, w) grid instead of a
+  512x512 HBM buffer (`model.py:334-354`).
+- AdaLN modulation stays (B, D) and broadcasts over tokens; no
+  repeat_interleave materialization (`model.py:553-556`).
+- fp32 islands match the reference exactly: RMS norms, QK-norm, RoPE,
+  timestep embedding; everything else in `dtype` (bf16 on TPU).
+
+Parameter tree is named to mirror the torch state dict one-to-one for
+checkpoint conversion (see `f_lite_tpu/convert/torch_to_jax.py`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from f_lite_tpu.ops.attention import attention
+from f_lite_tpu.ops.norms import rms_norm
+from f_lite_tpu.ops.patching import patchify, unpatchify
+from f_lite_tpu.ops.rope import apply_rotary, rope_2d_freqs
+from f_lite_tpu.ops.timesteps import timestep_embedding
+
+# Logical axis names for pjit sharding (resolved by parallel/mesh.py rules).
+EMBED = "embed"
+MLP = "mlp"
+HEADS_QKV = "qkv_out"
+CTX = "ctx"
+
+
+def _dense(features, *, use_bias, name, kernel_axes, dtype, param_dtype):
+    return nn.Dense(
+        features,
+        use_bias=use_bias,
+        name=name,
+        dtype=dtype,
+        param_dtype=param_dtype,
+        kernel_init=nn.with_logical_partitioning(
+            nn.initializers.lecun_normal(), kernel_axes
+        ),
+        bias_init=nn.initializers.zeros,
+    )
+
+
+def _zeros_dense(features, *, use_bias, name, kernel_axes, dtype, param_dtype):
+    return nn.Dense(
+        features,
+        use_bias=use_bias,
+        name=name,
+        dtype=dtype,
+        param_dtype=param_dtype,
+        kernel_init=nn.with_logical_partitioning(
+            nn.initializers.zeros, kernel_axes
+        ),
+        bias_init=nn.initializers.zeros,
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class DiTConfig:
+    """Covers v1 / v2 / released variants via flags (SURVEY.md §0.1)."""
+
+    in_channels: int = 16
+    patch_size: int = 2
+    hidden_size: int = 3072
+    depth: int = 40
+    num_heads: int = 12  # width // 256 per `pt.py:89` (not the report's 16)
+    mlp_ratio: float = 4.0
+    cross_attn_input_size: int = 4096
+    train_bias_and_rms: bool = False  # qkv bias + trainable final RMS weight
+    use_rope: bool = True
+    rope_base: float = 10000.0
+    dynamic_softmax_temperature: bool = False
+    residual_v: bool = False
+    adaln_mode: str = "shared"  # "shared" (v1) | "per_block" (v2)
+    cross_attn_period: int = 4  # cross-attn when idx % period == 0 ...
+    cross_attn_first_n: int = 8  # ... or idx < first_n  (`model.py:464`)
+    cross_attn_all: bool = False  # v2: every block (`model_v2.py:468`)
+    n_register_tokens: int = 16
+    pos_embed_max_len: int = 2048  # only when use_rope=False
+    gradient_checkpoint: bool = False
+    gradient_checkpoint_from: int = 8  # remat blocks >= this (`model.py:559`)
+    dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+    use_pallas_attention: bool | None = None  # None = auto (TPU yes)
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+    def block_has_cross_attn(self, idx: int) -> bool:
+        if self.cross_attn_all:
+            return True
+        return idx % self.cross_attn_period == 0 or idx < self.cross_attn_first_n
+
+    @classmethod
+    def f_lite_7b(cls, **overrides) -> "DiTConfig":
+        """F-Lite-7B released config (README.md:42; width/depth per HF repo)."""
+        kw = dict(hidden_size=2560, depth=40, num_heads=10, residual_v=True)
+        kw.update(overrides)
+        return cls(**kw)
+
+    @classmethod
+    def f_lite_10b(cls, **overrides) -> "DiTConfig":
+        """F-Lite 10B released config (`pt.py:85-95`, tech report p.6)."""
+        kw = dict(hidden_size=3072, depth=40, num_heads=12, residual_v=True)
+        kw.update(overrides)
+        return cls(**kw)
+
+
+class Attention(nn.Module):
+    """Self- or cross-attention (reference `model.py:133-223`).
+
+    Fused qkv projection for self-attn; q + fused context_kv for cross-attn.
+    Order of ops preserved exactly: rope -> dynamic temperature (k scale) ->
+    QK-norm -> SDPA -> bias-free out proj. (The temperature scale before an
+    RMS norm is a mathematical no-op; replicated for parity — SURVEY.md §7.3.)
+    """
+
+    config: DiTConfig
+    is_self_attn: bool = True
+
+    @nn.compact
+    def __call__(self, x, *, context=None, context_mask=None, rope=None,
+                 v_first=None):
+        cfg = self.config
+        h, d = cfg.num_heads, cfg.head_dim
+        qkv_bias = cfg.train_bias_and_rms
+
+        if self.is_self_attn:
+            qkv = _dense(
+                3 * cfg.hidden_size, use_bias=qkv_bias, name="qkv",
+                kernel_axes=(EMBED, HEADS_QKV),
+                dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+            )(x)
+            b, l = qkv.shape[:2]
+            qkv = qkv.reshape(b, l, 3, h, d).transpose(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]  # (B, H, L, D)
+            if rope is not None:
+                cos, sin = rope
+                q = apply_rotary(q, cos, sin)
+                k = apply_rotary(k, cos, sin)
+                if cfg.dynamic_softmax_temperature:
+                    # k *= sqrt(log L / log 1040) (`model.py:176-179`)
+                    ratio = math.sqrt(math.log(l) / math.log(1040.0))
+                    k = k * jnp.asarray(ratio, k.dtype)
+            kv_mask = None
+        else:
+            q = _dense(
+                cfg.hidden_size, use_bias=qkv_bias, name="q",
+                kernel_axes=(EMBED, HEADS_QKV),
+                dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+            )(x)
+            kv = _dense(
+                2 * cfg.hidden_size, use_bias=qkv_bias, name="context_kv",
+                kernel_axes=(EMBED, HEADS_QKV),
+                dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+            )(context)
+            b, lq = q.shape[:2]
+            lk = kv.shape[1]
+            q = q.reshape(b, lq, h, d).transpose(0, 2, 1, 3)
+            kv = kv.reshape(b, lk, 2, h, d).transpose(2, 0, 3, 1, 4)
+            k, v = kv[0], kv[1]
+            kv_mask = context_mask
+
+        # Value residual (released models): mix this block's V with block 0's
+        # V through a learnable per-block gate (arXiv:2410.17897; the in-repo
+        # reference never defines it — see module docstring).
+        if cfg.residual_v and self.is_self_attn:
+            if v_first is None:
+                v_first_out = v
+            else:
+                lamb = self.param(
+                    "lambda_v",
+                    nn.with_logical_partitioning(
+                        nn.initializers.constant(0.5), (None,)
+                    ),
+                    (1,), cfg.param_dtype,
+                )
+                lamb = lamb.astype(v.dtype)
+                v = lamb * v + (1.0 - lamb) * v_first
+                v_first_out = v_first
+        else:
+            v_first_out = v_first
+
+        # Non-trainable QK-RMSNorm on head_dim (`model.py:115-131,158`).
+        q = rms_norm(q)
+        k = rms_norm(k)
+
+        out = attention(
+            q, k, v, kv_mask=kv_mask, scale=d**-0.5,
+            use_pallas=cfg.use_pallas_attention,
+        )
+        out = out.transpose(0, 2, 1, 3).reshape(b, -1, h * d)
+        out = _dense(
+            cfg.hidden_size, use_bias=False, name="proj",
+            kernel_axes=(HEADS_QKV, EMBED),
+            dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+        )(out)
+        if self.is_self_attn and cfg.residual_v:
+            return out, v_first_out
+        return out
+
+
+class SwiGLUMLP(nn.Module):
+    """SwiGLU MLP: down(silu(gate(x)) * up(x)); names match liger's
+    gate_proj/up_proj/down_proj for weight conversion (`model.py:260-267`)."""
+
+    config: DiTConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.config
+        inter = int(cfg.hidden_size * cfg.mlp_ratio)
+        gate = _dense(
+            inter, use_bias=False, name="gate_proj",
+            kernel_axes=(EMBED, MLP), dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype,
+        )(x)
+        up = _dense(
+            inter, use_bias=False, name="up_proj",
+            kernel_axes=(EMBED, MLP), dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype,
+        )(x)
+        return _dense(
+            cfg.hidden_size, use_bias=False, name="down_proj",
+            kernel_axes=(MLP, EMBED), dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype,
+        )(nn.silu(gate) * up)
+
+
+class RMSNormModule(nn.Module):
+    """Learnable RMSNorm (liger-equivalent, fp32 accumulation)."""
+
+    dim: int
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param(
+            "weight",
+            nn.with_logical_partitioning(nn.initializers.ones, (None,)),
+            (self.dim,), self.param_dtype,
+        )
+        return rms_norm(x, w)
+
+
+class DiTBlock(nn.Module):
+    """Pre-RMSNorm AdaLN block: self-attn, optional cross-attn, SwiGLU MLP.
+
+    Reference `model.py:226-314`. `modulation` is a (B, 9, D) tensor of
+    (shift, scale, gate) x (sa, ca, mlp), broadcast over tokens.
+    """
+
+    config: DiTConfig
+    do_cross_attn: bool = False
+
+    @nn.compact
+    def __call__(self, x, context, context_mask, modulation, rope,
+                 v_first=None):
+        cfg = self.config
+
+        def mod(i):
+            return modulation[:, i][:, None, :].astype(x.dtype)
+
+        (shift_sa, scale_sa, gate_sa, shift_ca, scale_ca, gate_ca,
+         shift_mlp, scale_mlp, gate_mlp) = (mod(i) for i in range(9))
+
+        norm_x = RMSNormModule(cfg.hidden_size, cfg.param_dtype, name="norm1")(x)
+        norm_x = norm_x * (1 + scale_sa) + shift_sa
+        sa = Attention(cfg, is_self_attn=True, name="self_attn")(
+            norm_x, rope=rope, v_first=v_first
+        )
+        if cfg.residual_v:
+            attn_out, v_first = sa
+        else:
+            attn_out = sa
+        x = x + attn_out * gate_sa
+
+        if self.do_cross_attn:
+            norm_x = RMSNormModule(
+                cfg.hidden_size, cfg.param_dtype, name="norm2"
+            )(x)
+            norm_x = norm_x * (1 + scale_ca) + shift_ca
+            ca = Attention(cfg, is_self_attn=False, name="cross_attn")(
+                norm_x, context=context, context_mask=context_mask
+            )
+            x = x + ca * gate_ca
+
+        norm_x = RMSNormModule(cfg.hidden_size, cfg.param_dtype, name="norm3")(x)
+        norm_x = norm_x * (1 + scale_mlp) + shift_mlp
+        x = x + SwiGLUMLP(cfg, name="mlp")(norm_x) * gate_mlp
+
+        return x, v_first
+
+
+class TimestepEmbed(nn.Module):
+    """sinusoidal(t*1000, D) -> Linear(D, 4D) -> SiLU -> Linear(4D, D).
+
+    Reference `model.py:448-452,551-552`; param names linear_1/linear_2 map
+    to torch `time_embed.0` / `time_embed.2`.
+    """
+
+    config: DiTConfig
+
+    @nn.compact
+    def __call__(self, t):
+        cfg = self.config
+        emb = timestep_embedding(t * 1000.0, cfg.hidden_size)
+        emb = emb.astype(cfg.dtype)
+        emb = _dense(
+            4 * cfg.hidden_size, use_bias=True, name="linear_1",
+            kernel_axes=(EMBED, MLP), dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype,
+        )(emb)
+        emb = nn.silu(emb)
+        return _dense(
+            cfg.hidden_size, use_bias=True, name="linear_2",
+            kernel_axes=(MLP, EMBED), dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype,
+        )(emb)
+
+
+class AdaLNHead(nn.Module):
+    """SiLU -> zero-init Linear(D, n*D), chunked to (B, n, D).
+
+    Reference `model.py:454-456` (shared, n=9), `model.py:472` (final, n=2),
+    `model_v2.py:269-271` (per-block, n=9). Zero init makes every modulated
+    branch an identity at init — load-bearing for bf16 stability.
+    """
+
+    config: DiTConfig
+    n_chunks: int
+
+    @nn.compact
+    def __call__(self, t_emb):
+        cfg = self.config
+        out = _zeros_dense(
+            self.n_chunks * cfg.hidden_size, use_bias=True, name="linear",
+            kernel_axes=(EMBED, MLP), dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype,
+        )(nn.silu(t_emb))
+        b = out.shape[0]
+        return out.reshape(b, self.n_chunks, cfg.hidden_size)
+
+
+class DiT(nn.Module):
+    """The full denoiser. Input/output latents are NHWC.
+
+    forward(x (B,H,W,C), context (B,S,Ctx), context_mask (B,S) bool|None,
+    t (B,)) -> velocity (B,H,W,C). Reference `model.py:525-591` (the 4-arg
+    forward; mask=None reproduces the released 3-arg HF forward,
+    SURVEY.md §0.1.1).
+    """
+
+    config: DiTConfig
+
+    @nn.compact
+    def __call__(self, x, context, context_mask, t):
+        cfg = self.config
+        b, height, width, c = x.shape
+        gh, gw = height // cfg.patch_size, width // cfg.patch_size
+
+        # Context projection + RMS norm (`model.py:527-528`).
+        context = _dense(
+            cfg.hidden_size, use_bias=True, name="context_proj",
+            kernel_axes=(CTX, EMBED), dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype,
+        )(context.astype(cfg.dtype))
+        context = RMSNormModule(
+            cfg.hidden_size, cfg.param_dtype, name="context_norm"
+        )(context)
+
+        # Patch embed as patchify + matmul (`model.py:318-331,533`).
+        tokens = patchify(x.astype(cfg.dtype), cfg.patch_size)
+        tokens = _dense(
+            cfg.hidden_size, use_bias=True, name="patch_proj",
+            kernel_axes=(CTX, EMBED), dtype=cfg.dtype,
+            param_dtype=cfg.param_dtype,
+        )(tokens)
+
+        # Register tokens prepended (`model.py:446,535`).
+        reg = self.param(
+            "register_tokens",
+            nn.with_logical_partitioning(
+                nn.initializers.normal(stddev=1.0), (None, None, EMBED)
+            ),
+            (1, cfg.n_register_tokens, cfg.hidden_size), cfg.param_dtype,
+        )
+        tokens = jnp.concatenate(
+            [jnp.broadcast_to(reg, (b, *reg.shape[1:])).astype(cfg.dtype),
+             tokens],
+            axis=1,
+        )
+
+        if cfg.use_rope:
+            rope = rope_2d_freqs(
+                cfg.head_dim, gh, gw, base=cfg.rope_base,
+                n_register_tokens=cfg.n_register_tokens,
+            )
+        else:
+            pos = self.param(
+                "positional_embedding",
+                nn.with_logical_partitioning(
+                    nn.initializers.zeros, (None, None, EMBED)
+                ),
+                (1, cfg.pos_embed_max_len, cfg.hidden_size), cfg.param_dtype,
+            )
+            tokens = tokens + pos[:, : tokens.shape[1], :].astype(cfg.dtype)
+            rope = None
+
+        # Timestep embedding + shared modulation (`model.py:551-556`).
+        t_emb = TimestepEmbed(cfg, name="time_embed")(t)
+        if cfg.adaln_mode == "shared":
+            modulation = AdaLNHead(cfg, 9, name="adaLN_modulation")(t_emb)
+        else:
+            modulation = None  # per-block heads below
+
+        v_first = None
+        for idx in range(cfg.depth):
+            do_cross = cfg.block_has_cross_attn(idx)
+            if cfg.adaln_mode == "per_block":
+                block_mod = AdaLNHead(
+                    cfg, 9, name=f"blocks_{idx}_adaLN"
+                )(t_emb)
+            else:
+                block_mod = modulation
+
+            # Remat blocks >= gradient_checkpoint_from, like the reference's
+            # `torch.utils.checkpoint` on blocks >= 8 (`model.py:559-567`).
+            block_cls = DiTBlock
+            if (
+                cfg.gradient_checkpoint
+                and idx >= cfg.gradient_checkpoint_from
+            ):
+                block_cls = nn.remat(DiTBlock, prevent_cse=False)
+            tokens, v_first = block_cls(
+                cfg, do_cross_attn=do_cross, name=f"blocks_{idx}"
+            )(tokens, context, context_mask, block_mod, rope, v_first)
+
+        # Drop registers; final modulation + zero-init proj (`model.py:575-581`).
+        tokens = tokens[:, cfg.n_register_tokens :, :]
+        final_mod = AdaLNHead(cfg, 2, name="final_modulation")(t_emb)
+        final_shift = final_mod[:, 0][:, None, :].astype(cfg.dtype)
+        final_scale = final_mod[:, 1][:, None, :].astype(cfg.dtype)
+
+        if cfg.train_bias_and_rms:
+            tokens = RMSNormModule(
+                cfg.hidden_size, cfg.param_dtype, name="final_norm"
+            )(tokens)
+        else:
+            tokens = rms_norm(tokens)
+        tokens = tokens * (1 + final_scale) + final_shift
+        tokens = _zeros_dense(
+            cfg.patch_size * cfg.patch_size * cfg.in_channels,
+            use_bias=True, name="final_proj", kernel_axes=(EMBED, CTX),
+            dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+        )(tokens)
+
+        return unpatchify(tokens, gh, gw, cfg.patch_size, cfg.in_channels)
+
+    def init_params(self, rng, *, text_len: int = 32, image_size: int = 64):
+        """Convenience: init with tiny dummy shapes (shapes don't matter)."""
+        cfg = self.config
+        x = jnp.zeros((1, image_size, image_size, cfg.in_channels), cfg.dtype)
+        ctx = jnp.zeros((1, text_len, cfg.cross_attn_input_size), cfg.dtype)
+        mask = jnp.ones((1, text_len), jnp.bool_)
+        t = jnp.zeros((1,), jnp.float32)
+        return self.init(rng, x, ctx, mask, t)
