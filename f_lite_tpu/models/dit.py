@@ -489,4 +489,7 @@ class DiT(nn.Module):
         ctx = jnp.zeros((1, text_len, cfg.cross_attn_input_size), cfg.dtype)
         mask = jnp.ones((1, text_len), jnp.bool_)
         t = jnp.zeros((1,), jnp.float32)
-        return self.init(rng, x, ctx, mask, t)
+        # Unbox the logical-partitioning metadata: training/inference code
+        # works with plain arrays; sharding specs are derived separately via
+        # nn.get_partition_spec over an eval_shape (parallel/sharding.py).
+        return nn.meta.unbox(self.init(rng, x, ctx, mask, t))
