@@ -1,0 +1,115 @@
+"""Pallas flash-attention kernel vs the XLA oracle (interpret mode on CPU)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from f_lite_tpu.ops.attention import attention_xla
+from f_lite_tpu.ops.pallas.flash_attention import flash_attention
+
+fa = functools.partial(flash_attention, interpret=True)
+
+
+def _qkv(b, h, lq, lk, d, dtype=jnp.float32, seed=0):
+    ks = jax.random.split(jax.random.key(seed), 3)
+    q = jax.random.normal(ks[0], (b, h, lq, d), dtype)
+    k = jax.random.normal(ks[1], (b, h, lk, d), dtype)
+    v = jax.random.normal(ks[2], (b, h, lk, d), dtype)
+    return q, k, v
+
+
+class TestFlashForward:
+    @pytest.mark.parametrize(
+        "b,h,lq,lk,d",
+        [
+            (1, 2, 128, 128, 128),     # aligned, single block
+            (2, 2, 256, 256, 128),     # aligned, 1 q block (block_q=256)
+            (1, 2, 640, 640, 128),     # multiple k blocks
+            (1, 1, 1040, 1040, 128),   # unaligned self-attn length (256² img)
+            (2, 2, 130, 72, 128),      # unaligned both, cross-attn shaped
+            (1, 2, 128, 128, 64),      # head_dim below lane width
+        ],
+    )
+    def test_matches_xla_dense(self, b, h, lq, lk, d):
+        q, k, v = _qkv(b, h, lq, lk, d)
+        out = fa(q, k, v)
+        ref = attention_xla(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5
+        )
+
+    def test_kv_mask_matches_xla(self):
+        # prefix (right-padding) masks — the kernel's masking model
+        b, h, lq, lk, d = 3, 2, 144, 96, 128
+        q, k, v = _qkv(b, h, lq, lk, d, seed=1)
+        lens = jnp.array([96, 41, 7])
+        mask = jnp.arange(lk)[None, :] < lens[:, None]
+        out = fa(q, k, v, kv_mask=mask)
+        ref = attention_xla(q, k, v, kv_mask=mask)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5
+        )
+
+    def test_kv_lens_equivalent_to_mask(self):
+        b, h, lq, lk, d = 2, 1, 128, 130, 128
+        q, k, v = _qkv(b, h, lq, lk, d, seed=7)
+        lens = jnp.array([130, 65])
+        out1 = fa(q, k, v, kv_lens=lens)
+        mask = jnp.arange(lk)[None, :] < lens[:, None]
+        out2 = fa(q, k, v, kv_mask=mask)
+        np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+
+    def test_masked_keys_have_no_influence(self):
+        b, h, lq, lk, d = 1, 1, 128, 64, 128
+        q, k, v = _qkv(b, h, lq, lk, d, seed=2)
+        mask = jnp.ones((b, lk), jnp.bool_).at[:, 32:].set(False)
+        out1 = fa(q, k, v, kv_mask=mask)
+        k2 = k.at[:, :, 32:].set(1e3)
+        v2 = v.at[:, :, 32:].set(-1e3)
+        out2 = fa(q, k2, v2, kv_mask=mask)
+        np.testing.assert_allclose(
+            np.asarray(out1), np.asarray(out2), atol=1e-5
+        )
+
+    def test_bf16(self):
+        q, k, v = _qkv(1, 2, 256, 256, 128, dtype=jnp.bfloat16, seed=3)
+        out = fa(q, k, v)
+        assert out.dtype == jnp.bfloat16
+        ref = attention_xla(
+            q.astype(jnp.float32), k.astype(jnp.float32),
+            v.astype(jnp.float32),
+        )
+        np.testing.assert_allclose(
+            np.asarray(out, np.float32), np.asarray(ref), atol=0.06, rtol=0.05
+        )
+
+    def test_custom_scale(self):
+        q, k, v = _qkv(1, 1, 128, 128, 128, seed=4)
+        out = fa(q, k, v, scale=0.5)
+        ref = attention_xla(q, k, v, scale=0.5)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5
+        )
+
+
+class TestFlashBackward:
+    def test_grads_match_xla(self):
+        b, h, lq, lk, d = 1, 2, 130, 70, 128
+        q, k, v = _qkv(b, h, lq, lk, d, seed=5)
+        mask = jnp.ones((b, lk), jnp.bool_).at[:, 50:].set(False)
+
+        def loss_pallas(q, k, v):
+            return jnp.sum(fa(q, k, v, kv_mask=mask) ** 2)
+
+        def loss_xla(q, k, v):
+            return jnp.sum(attention_xla(q, k, v, kv_mask=mask) ** 2)
+
+        g1 = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=5e-4, rtol=5e-4
+            )
