@@ -1,0 +1,11 @@
+from f_lite_tpu.convert.torch_to_jax import (
+    convert_dit_state_dict,
+    convert_vae_state_dict,
+    load_torch_state_dict,
+)
+
+__all__ = [
+    "convert_dit_state_dict",
+    "convert_vae_state_dict",
+    "load_torch_state_dict",
+]

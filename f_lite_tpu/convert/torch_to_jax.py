@@ -1,0 +1,225 @@
+"""Torch/HF checkpoint -> JAX pytree conversion.
+
+Covers the reference's checkpoint surfaces:
+- raw `.pt` DiT state dicts (`/root/reference/f_lite/pt.py:78-101`), incl.
+  `module.` / `_orig_mod.` prefix stripping and depth inference from block
+  indices (`pt.py:81`);
+- HF-format safetensors shards (diffusers `save_pretrained` layout used by
+  the released Freepik/F-Lite repos);
+- the diffusers AutoencoderKL (Flux VAE) state dict.
+
+Layout contracts (must match models/dit.py and models/vae.py):
+- torch Linear weight (out, in) -> flax Dense kernel (in, out): transpose;
+- torch qkv fused weight is k-major over (3|2, heads, head_dim) — identical
+  to the jax reshape order, so no reordering beyond the transpose;
+- torch Conv2d weight (O, I, kh, kw) -> flax Conv kernel (kh, kw, I, O);
+- the patch embed Conv2d (D, C, p, p) becomes a matmul kernel (p*p*C, D)
+  flattened in (ki, kj, c) patch order (see ops/patching.py docstring).
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+from typing import Any, Mapping
+
+import numpy as np
+
+from f_lite_tpu.models.dit import DiTConfig
+from f_lite_tpu.models.vae import VAEConfig
+
+
+def load_torch_state_dict(path: str | Path) -> dict[str, np.ndarray]:
+    """Load a `.pt`/`.bin` (torch.load) or `.safetensors` file to numpy."""
+    path = Path(path)
+    if path.suffix == ".safetensors":
+        from safetensors.numpy import load_file
+
+        return dict(load_file(str(path)))
+    import torch  # torch (cpu) is only needed for legacy .pt checkpoints
+
+    sd = torch.load(str(path), map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {k: v.float().numpy() for k, v in sd.items()}
+
+
+def strip_prefixes(sd: Mapping[str, Any]) -> dict[str, Any]:
+    """Strip `module.` / `_orig_mod.` like `pt.py:98-101`."""
+    return {
+        k.replace("module.", "").replace("_orig_mod.", ""): v
+        for k, v in sd.items()
+    }
+
+
+def infer_depth(sd: Mapping[str, Any]) -> int:
+    """Max block index + 1 (`pt.py:81`)."""
+    idxs = [
+        int(m.group(1))
+        for k in sd
+        if (m := re.match(r"blocks\.(\d+)\.", k))
+    ]
+    if not idxs:
+        raise ValueError("no `blocks.N.` keys in state dict")
+    return max(idxs) + 1
+
+
+def _t(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(w.T)
+
+
+def _dense(sd, torch_name, *, transpose=True):
+    out = {"kernel": _t(sd[f"{torch_name}.weight"]) if transpose
+           else sd[f"{torch_name}.weight"]}
+    if f"{torch_name}.bias" in sd:
+        out["bias"] = sd[f"{torch_name}.bias"]
+    return out
+
+
+def convert_dit_state_dict(
+    sd: Mapping[str, np.ndarray], config: DiTConfig
+) -> dict:
+    """Torch DiT state dict -> flax params dict (matches models/dit.py)."""
+    sd = strip_prefixes(sd)
+    p: dict[str, Any] = {}
+
+    p["context_proj"] = _dense(sd, "context_proj")
+    p["context_norm"] = {"weight": sd["context_norm.weight"]}
+
+    w = sd["patch_embed.patch_proj.weight"]  # (D, C, p, p)
+    d_model = w.shape[0]
+    kernel = np.ascontiguousarray(
+        w.transpose(2, 3, 1, 0).reshape(-1, d_model)
+    )  # (p*p*C, D) in (ki, kj, c) order
+    p["patch_proj"] = {
+        "kernel": kernel, "bias": sd["patch_embed.patch_proj.bias"]
+    }
+
+    p["register_tokens"] = sd["register_tokens"]
+    if "positional_embedding" in sd:
+        p["positional_embedding"] = sd["positional_embedding"]
+
+    p["time_embed"] = {
+        "linear_1": _dense(sd, "time_embed.0"),
+        "linear_2": _dense(sd, "time_embed.2"),
+    }
+    if "adaLN_modulation.1.weight" in sd:
+        p["adaLN_modulation"] = {
+            "linear": _dense(sd, "adaLN_modulation.1")
+        }
+
+    for i in range(config.depth):
+        b = f"blocks.{i}"
+        blk: dict[str, Any] = {
+            "norm1": {"weight": sd[f"{b}.norm1.weight"]},
+            "norm3": {"weight": sd[f"{b}.norm3.weight"]},
+            "self_attn": {
+                "qkv": _dense(sd, f"{b}.self_attn.qkv"),
+                "proj": _dense(sd, f"{b}.self_attn.proj"),
+            },
+            "mlp": {
+                "gate_proj": _dense(sd, f"{b}.mlp.gate_proj"),
+                "up_proj": _dense(sd, f"{b}.mlp.up_proj"),
+                "down_proj": _dense(sd, f"{b}.mlp.down_proj"),
+            },
+        }
+        if f"{b}.self_attn.lambda_v" in sd:
+            blk["self_attn"]["lambda_v"] = sd[f"{b}.self_attn.lambda_v"]
+        if f"{b}.norm2.weight" in sd:
+            blk["norm2"] = {"weight": sd[f"{b}.norm2.weight"]}
+            blk["cross_attn"] = {
+                "q": _dense(sd, f"{b}.cross_attn.q"),
+                "context_kv": _dense(sd, f"{b}.cross_attn.context_kv"),
+                "proj": _dense(sd, f"{b}.cross_attn.proj"),
+            }
+        p[f"blocks_{i}"] = blk
+        # per-block AdaLN (v2: `model_v2.py:269-271`)
+        if f"{b}.adaLN_modulation.1.weight" in sd:
+            p[f"blocks_{i}_adaLN"] = {
+                "linear": _dense(sd, f"{b}.adaLN_modulation.1")
+            }
+
+    p["final_modulation"] = {"linear": _dense(sd, "final_modulation.1")}
+    if "final_norm.weight" in sd:
+        p["final_norm"] = {"weight": sd["final_norm.weight"]}
+    p["final_proj"] = _dense(sd, "final_proj")
+    return {"params": p}
+
+
+def _conv(sd, torch_name):
+    w = sd[f"{torch_name}.weight"]  # (O, I, kh, kw)
+    out = {"kernel": np.ascontiguousarray(w.transpose(2, 3, 1, 0))}
+    if f"{torch_name}.bias" in sd:
+        out["bias"] = sd[f"{torch_name}.bias"]
+    return out
+
+
+def _groupnorm(sd, torch_name):
+    return {"norm": {
+        "scale": sd[f"{torch_name}.weight"],
+        "bias": sd[f"{torch_name}.bias"],
+    }}
+
+
+def _resnet(sd, base):
+    out = {
+        "norm1": _groupnorm(sd, f"{base}.norm1"),
+        "conv1": _conv(sd, f"{base}.conv1"),
+        "norm2": _groupnorm(sd, f"{base}.norm2"),
+        "conv2": _conv(sd, f"{base}.conv2"),
+    }
+    if f"{base}.conv_shortcut.weight" in sd:
+        out["conv_shortcut"] = _conv(sd, f"{base}.conv_shortcut")
+    return out
+
+
+def _mid_attn(sd, base):
+    # diffusers Attention: to_q/to_k/to_v/to_out.0 Linears + group_norm
+    return {
+        "group_norm": _groupnorm(sd, f"{base}.group_norm"),
+        "to_q": _dense(sd, f"{base}.to_q"),
+        "to_k": _dense(sd, f"{base}.to_k"),
+        "to_v": _dense(sd, f"{base}.to_v"),
+        "to_out": _dense(sd, f"{base}.to_out.0"),
+    }
+
+
+def convert_vae_state_dict(
+    sd: Mapping[str, np.ndarray], config: VAEConfig
+) -> dict:
+    """diffusers AutoencoderKL state dict -> flax params (models/vae.py)."""
+    sd = strip_prefixes(sd)
+    n_blocks = len(config.block_out_channels)
+    enc: dict[str, Any] = {"conv_in": _conv(sd, "encoder.conv_in")}
+    for i in range(n_blocks):
+        for j in range(config.layers_per_block):
+            enc[f"down_{i}_resnet_{j}"] = _resnet(
+                sd, f"encoder.down_blocks.{i}.resnets.{j}"
+            )
+        ds = f"encoder.down_blocks.{i}.downsamplers.0.conv"
+        if f"{ds}.weight" in sd:
+            enc[f"down_{i}_downsample"] = _conv(sd, ds)
+    enc["mid_resnet_0"] = _resnet(sd, "encoder.mid_block.resnets.0")
+    enc["mid_resnet_1"] = _resnet(sd, "encoder.mid_block.resnets.1")
+    if config.mid_block_add_attention:
+        enc["mid_attn"] = _mid_attn(sd, "encoder.mid_block.attentions.0")
+    enc["conv_norm_out"] = _groupnorm(sd, "encoder.conv_norm_out")
+    enc["conv_out"] = _conv(sd, "encoder.conv_out")
+
+    dec: dict[str, Any] = {"conv_in": _conv(sd, "decoder.conv_in")}
+    dec["mid_resnet_0"] = _resnet(sd, "decoder.mid_block.resnets.0")
+    dec["mid_resnet_1"] = _resnet(sd, "decoder.mid_block.resnets.1")
+    if config.mid_block_add_attention:
+        dec["mid_attn"] = _mid_attn(sd, "decoder.mid_block.attentions.0")
+    for i in range(n_blocks):
+        for j in range(config.layers_per_block + 1):
+            dec[f"up_{i}_resnet_{j}"] = _resnet(
+                sd, f"decoder.up_blocks.{i}.resnets.{j}"
+            )
+        us = f"decoder.up_blocks.{i}.upsamplers.0.conv"
+        if f"{us}.weight" in sd:
+            dec[f"up_{i}_upsample"] = _conv(sd, us)
+    dec["conv_norm_out"] = _groupnorm(sd, "decoder.conv_norm_out")
+    dec["conv_out"] = _conv(sd, "decoder.conv_out")
+
+    return {"params": {"encoder": enc, "decoder": dec}}
