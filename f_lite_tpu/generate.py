@@ -1,0 +1,114 @@
+"""Image-generation CLI: `python -m f_lite_tpu.generate`.
+
+Flag parity with the reference CLI (`/root/reference/f_lite/generate.py:
+13-26`): prompt, model, negative_prompt, guidance_scale=6,
+num_inference_steps=30, width=1344, height=896, seed, num_images,
+output_file (multi-image `_N` suffix naming, `generate.py:102-111`), APG.
+`--cpu_offload` is accepted for CLI compatibility and maps to VAE tiling
+(the TPU memory lever; weights are bf16-resident).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import time
+from pathlib import Path
+
+logger = logging.getLogger("f_lite_tpu.generate")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="Generate images with an F-Lite model on TPU"
+    )
+    p.add_argument("--prompt", type=str, required=True)
+    p.add_argument("--model", type=str, default="Freepik/F-Lite",
+                   help="path to a converted checkpoint directory")
+    p.add_argument("--negative_prompt", type=str, default=None)
+    p.add_argument("--guidance_scale", type=float, default=6.0)
+    p.add_argument("--num_inference_steps", type=int, default=30)
+    p.add_argument("--width", type=int, default=1344)
+    p.add_argument("--height", type=int, default=896)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num_images", type=int, default=1)
+    p.add_argument("--output_file", type=str, default="output.png")
+    p.add_argument("--apg", action="store_true",
+                   help="use APG guidance instead of plain CFG")
+    p.add_argument("--apg_orthogonal_threshold", type=float, default=0.03)
+    p.add_argument("--cpu_offload", action="store_true",
+                   help="compat flag: enables tiled VAE decode")
+    p.add_argument("--vae_tiling", action="store_true")
+    p.add_argument("--no_text_encoder", action="store_true",
+                   help="use the hermetic pseudo text encoder (debug)")
+    return p
+
+
+def generate_images(args) -> list[Path]:
+    from f_lite_tpu.ops.guidance import APGConfig
+    from f_lite_tpu.pipeline import FLitePipeline
+
+    text_encoder = None
+    if args.no_text_encoder:
+        from f_lite_tpu.text.encoder import ZeroTextEncoder
+
+        text_encoder = "zero"
+
+    pipe = FLitePipeline.from_pretrained(
+        args.model, load_text_encoder=not args.no_text_encoder
+    )
+    if args.no_text_encoder:
+        from f_lite_tpu.text.encoder import ZeroTextEncoder
+
+        pipe.text_encoder = ZeroTextEncoder(
+            embed_dim=pipe.dit_model.config.cross_attn_input_size
+        )
+    if args.cpu_offload or args.vae_tiling:
+        pipe.enable_vae_tiling()
+
+    apg = (
+        APGConfig(enabled=True,
+                  orthogonal_threshold=args.apg_orthogonal_threshold)
+        if args.apg else None
+    )
+
+    t0 = time.perf_counter()
+    out = pipe(
+        prompt=args.prompt,
+        negative_prompt=args.negative_prompt,
+        height=args.height,
+        width=args.width,
+        num_inference_steps=args.num_inference_steps,
+        guidance_scale=args.guidance_scale,
+        num_images_per_prompt=args.num_images,
+        seed=args.seed,
+        apg_config=apg,
+    )
+    dt = time.perf_counter() - t0
+
+    base = Path(args.output_file)
+    paths = []
+    if len(out.images) == 1:
+        out.images[0].save(base)
+        paths.append(base)
+    else:
+        for i, img in enumerate(out.images, 1):
+            p = base.with_name(f"{base.stem}_{i}{base.suffix}")
+            img.save(p)
+            paths.append(p)
+    logger.info("generated %d image(s) in %.2fs -> %s",
+                len(paths), dt, ", ".join(map(str, paths)))
+    print(f"generated {len(paths)} image(s) in {dt:.2f}s")
+    for p in paths:
+        print(f"  {p}")
+    return paths
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO)
+    args = build_parser().parse_args(argv)
+    return generate_images(args)
+
+
+if __name__ == "__main__":
+    main()

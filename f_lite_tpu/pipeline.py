@@ -1,0 +1,353 @@
+"""FLitePipeline: text -> image, the diffusers-style public entry point.
+
+API parity with the reference `FLitePipeline` (`/root/reference/f_lite/
+pipeline.py:46-330`): `from_pretrained`, `__call__(prompt, height, width,
+num_inference_steps, guidance_scale, negative_prompt,
+num_images_per_prompt, ...)`, `encode_prompt` with zeros for an absent
+negative prompt, APG config, PIL output.
+
+TPU-native differences:
+- the denoise trajectory runs as ONE jitted `lax.scan` (sampling/euler.py),
+  optionally with the VAE decode fused into the same jit;
+- RNG is `jax.random` keyed by an int `seed` (torch Generator parity is
+  impossible; the parity harness injects noise instead — SURVEY.md §7.3);
+- instead of CPU offload (`pipeline.py:52`) the memory controls are VAE
+  sliced/tiled decode — weights are bf16-resident, which fits a v5e chip
+  for both released model sizes.
+
+Checkpoint layout consumed by `from_pretrained` (produced by
+tools/convert_checkpoint.py from the reference's HF/pt formats):
+  {root}/model_index.json
+  {root}/dit/config.json + flax_params.safetensors (or .msgpack)
+  {root}/vae/config.json + flax_params.safetensors
+  {root}/text_encoder/... (HF T5 dir, optional)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from f_lite_tpu.models.dit import DiT, DiTConfig
+from f_lite_tpu.models.vae import (
+    AutoencoderKL,
+    VAEConfig,
+    decode_sliced,
+    decode_tiled,
+    denormalize_latents,
+)
+from f_lite_tpu.ops.guidance import APGConfig
+from f_lite_tpu.sampling.euler import DenoiseSettings, make_denoise_fn
+from f_lite_tpu.utils.image import to_pil_images
+
+
+@dataclasses.dataclass
+class FLitePipelineOutput:
+    """Output of FLitePipeline (`pipeline.py:34-43`)."""
+
+    images: list
+
+
+def _flatten_params(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}.{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(_flatten_params(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def _unflatten_params(flat):
+    tree: dict[str, Any] = {}
+    for k, v in flat.items():
+        parts = k.split(".")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def save_params_safetensors(params, path: Path):
+    from safetensors.numpy import save_file
+
+    save_file(_flatten_params(params), str(path))
+
+
+def load_params_safetensors(path: Path):
+    from safetensors.numpy import load_file
+
+    return _unflatten_params(load_file(str(path)))
+
+
+def _config_kwargs(cls, d: dict) -> dict:
+    fields = {f.name for f in dataclasses.fields(cls)}
+    return {k: v for k, v in d.items() if k in fields}
+
+
+class FLitePipeline:
+    """Composes DiT + VAE + text encoder; see module docstring."""
+
+    def __init__(
+        self,
+        dit_model: DiT,
+        dit_params,
+        vae: AutoencoderKL | None = None,
+        vae_params=None,
+        text_encoder=None,
+    ):
+        self.dit_model = dit_model
+        self.dit_params = dit_params
+        self.vae = vae
+        self.vae_params = vae_params
+        self.text_encoder = text_encoder
+        self.vae_scale_factor = (
+            vae.config.spatial_scale if vae is not None else 8
+        )
+        self.return_index = -8  # hidden-state index (`pipeline.py:83`)
+        self._denoise_cache: dict[Any, Any] = {}
+        self._decode_mode = "direct"  # direct | sliced | tiled
+
+    # ---- memory modes (reference `pipeline.py:85-93`) -------------------
+    def enable_vae_slicing(self):
+        self._decode_mode = "sliced"
+
+    def enable_vae_tiling(self):
+        self._decode_mode = "tiled"
+
+    # ---- loading --------------------------------------------------------
+    @classmethod
+    def from_pretrained(
+        cls,
+        path: str | Path,
+        *,
+        dtype=jnp.bfloat16,
+        text_encoder: Any | None = None,
+        load_text_encoder: bool = True,
+    ) -> "FLitePipeline":
+        path = Path(path)
+        index = json.loads((path / "model_index.json").read_text())
+
+        dit_cfg_d = json.loads((path / "dit" / "config.json").read_text())
+        dit_cfg = DiTConfig(
+            **_config_kwargs(DiTConfig, dit_cfg_d),
+            dtype=dtype, param_dtype=dtype,
+        )
+        dit = DiT(dit_cfg)
+        dit_params = jax.tree.map(
+            lambda x: jnp.asarray(x, dtype),
+            {"params": load_params_safetensors(
+                path / "dit" / "flax_params.safetensors"
+            )},
+        )
+
+        vae = vae_params = None
+        if (path / "vae" / "config.json").exists():
+            vae_cfg_d = json.loads((path / "vae" / "config.json").read_text())
+            vae_cfg = VAEConfig(**_config_kwargs(VAEConfig, vae_cfg_d))
+            vae = AutoencoderKL(vae_cfg)
+            vae_params = jax.tree.map(
+                jnp.asarray,
+                {"params": load_params_safetensors(
+                    path / "vae" / "flax_params.safetensors"
+                )},
+            )
+
+        if text_encoder is None and load_text_encoder:
+            te_dir = path / "text_encoder"
+            if (te_dir / "config.json").exists():
+                te_type = index.get("text_encoder_type", "t5")
+                if te_type == "t5":
+                    from f_lite_tpu.text.encoder import T5TextEncoder
+
+                    tok_dir = path / "tokenizer"
+                    text_encoder = T5TextEncoder(
+                        str(te_dir),
+                        str(tok_dir) if tok_dir.exists() else str(te_dir),
+                        return_index=index.get("return_index", -8),
+                    )
+                else:
+                    from f_lite_tpu.text.encoder import TorchTextEncoder
+
+                    text_encoder = TorchTextEncoder(
+                        str(te_dir),
+                        return_index=index.get("return_index", -8),
+                    )
+
+        return cls(dit, dit_params, vae, vae_params, text_encoder)
+
+    def save_pretrained(self, path: str | Path):
+        path = Path(path)
+        (path / "dit").mkdir(parents=True, exist_ok=True)
+        index = {
+            "_class_name": "FLitePipeline",
+            "framework": "f-lite-tpu",
+        }
+        (path / "model_index.json").write_text(json.dumps(index, indent=2))
+        cfg = dataclasses.asdict(self.dit_model.config)
+        for k in ("dtype", "param_dtype"):
+            cfg.pop(k, None)
+        (path / "dit" / "config.json").write_text(json.dumps(cfg, indent=2))
+        save_params_safetensors(
+            jax.tree.map(np.asarray, self.dit_params["params"]),
+            path / "dit" / "flax_params.safetensors",
+        )
+        if self.vae is not None:
+            (path / "vae").mkdir(exist_ok=True)
+            vcfg = dataclasses.asdict(self.vae.config)
+            for k in ("dtype", "param_dtype"):
+                vcfg.pop(k, None)
+            vcfg["block_out_channels"] = list(vcfg["block_out_channels"])
+            (path / "vae" / "config.json").write_text(
+                json.dumps(vcfg, indent=2)
+            )
+            save_params_safetensors(
+                jax.tree.map(np.asarray, self.vae_params["params"]),
+                path / "vae" / "flax_params.safetensors",
+            )
+
+    # ---- prompt encoding (`pipeline.py:126-175`) ------------------------
+    def encode_prompt(
+        self,
+        prompt: str | Sequence[str],
+        negative_prompt: str | Sequence[str] | None = None,
+    ):
+        if isinstance(prompt, str):
+            prompt = [prompt]
+        if self.text_encoder is None:
+            raise ValueError(
+                "pipeline has no text encoder; pass prompt_embeds instead"
+            )
+        embeds, mask = self.text_encoder.encode(prompt)
+        if negative_prompt is None:
+            neg = np.zeros_like(embeds)  # `pipeline.py:161`
+            neg_mask = np.ones_like(mask)
+        else:
+            if isinstance(negative_prompt, str):
+                negative_prompt = [negative_prompt]
+            neg, neg_mask = self.text_encoder.encode(negative_prompt)
+            s = max(embeds.shape[1], neg.shape[1])
+            embeds, mask = _pad_seq(embeds, mask, s)
+            neg, neg_mask = _pad_seq(neg, neg_mask, s)
+        return embeds, neg, mask, neg_mask
+
+    # ---- generation (`pipeline.py:188-329`) -----------------------------
+    def __call__(
+        self,
+        prompt: str | Sequence[str] | None = None,
+        height: int = 1024,
+        width: int = 1024,
+        num_inference_steps: int = 30,
+        guidance_scale: float = 6.0,
+        negative_prompt: str | Sequence[str] | None = None,
+        num_images_per_prompt: int = 1,
+        seed: int | jax.Array | None = None,
+        alpha: float | None = None,
+        apg_config: APGConfig | None = None,
+        prompt_embeds: np.ndarray | None = None,
+        negative_embeds: np.ndarray | None = None,
+        context_mask: np.ndarray | None = None,
+        latents: jax.Array | None = None,
+        output_type: str = "pil",
+        return_latents: bool = False,
+    ):
+        apg = apg_config if (apg_config and apg_config.enabled) else None
+
+        if prompt_embeds is None:
+            embeds, neg, mask, neg_mask = self.encode_prompt(
+                prompt, negative_prompt
+            )
+        else:
+            embeds = prompt_embeds
+            neg = (
+                negative_embeds
+                if negative_embeds is not None
+                else np.zeros_like(embeds)
+            )
+            mask = (
+                context_mask
+                if context_mask is not None
+                else np.ones(embeds.shape[:2], bool)
+            )
+            neg_mask = mask
+
+        if num_images_per_prompt > 1:
+            embeds = np.repeat(embeds, num_images_per_prompt, axis=0)
+            neg = np.repeat(neg, num_images_per_prompt, axis=0)
+            mask = np.repeat(mask, num_images_per_prompt, axis=0)
+            neg_mask = np.repeat(neg_mask, num_images_per_prompt, axis=0)
+
+        batch = embeds.shape[0]
+        lh, lw = height // self.vae_scale_factor, width // self.vae_scale_factor
+        dtype = self.dit_model.config.dtype
+
+        if latents is None:
+            rng = (
+                seed
+                if isinstance(seed, jax.Array)
+                else jax.random.key(0 if seed is None else seed)
+            )
+            latents = jax.random.normal(
+                rng, (batch, lh, lw, self.dit_model.config.in_channels),
+                dtype,
+            )
+
+        # cross-attn mask: combined pos/neg mask must be the CFG-batched
+        # layout; the reference uses all-ones for the zeros negative
+        # (`train.py:561-562` semantics). Use the positive mask for both
+        # halves (matches `pipeline.py` which passes no mask at all).
+        settings = DenoiseSettings(
+            num_inference_steps=num_inference_steps,
+            guidance_scale=guidance_scale,
+            apg=apg,
+            alpha=alpha,
+        )
+        key = (settings, bool(mask is not None))
+        fn = self._denoise_cache.get(key)
+        if fn is None:
+            fn = make_denoise_fn(self.dit_model.apply, settings, donate=True)
+            self._denoise_cache[key] = fn
+
+        final = fn(
+            self.dit_params,
+            latents,
+            jnp.asarray(embeds, dtype),
+            jnp.asarray(neg, dtype),
+            jnp.asarray(mask) if mask is not None else None,
+        )
+
+        if return_latents or self.vae is None:
+            return FLitePipelineOutput(images=np.asarray(final))
+
+        z = denormalize_latents(
+            final.astype(jnp.float32), self.vae.config
+        )
+        if self._decode_mode == "tiled":
+            decoded = decode_tiled(self.vae, self.vae_params, z)
+        elif self._decode_mode == "sliced":
+            decoded = decode_sliced(self.vae, self.vae_params, z)
+        else:
+            decoded = self.vae.apply(
+                self.vae_params, z, method=AutoencoderKL.decode
+            )
+        decoded = np.asarray(decoded, dtype=np.float32)
+        if output_type == "np":
+            return FLitePipelineOutput(images=decoded)
+        return FLitePipelineOutput(images=to_pil_images(decoded))
+
+
+def _pad_seq(emb, mask, target):
+    if emb.shape[1] == target:
+        return emb, mask
+    pad = target - emb.shape[1]
+    emb = np.pad(emb, ((0, 0), (0, pad), (0, 0)))
+    mask = np.pad(mask, ((0, 0), (0, pad)))
+    return emb, mask

@@ -1,0 +1,45 @@
+"""Image postprocessing: decoded tensors -> PIL, plus grid assembly.
+
+Reference equivalents: `pipeline.py:324-327` (uint8 PIL postprocess) and
+`f_lite/utils.py:6-22` (torchvision make_grid -> PIL).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from PIL import Image
+
+
+def to_pil_images(decoded: np.ndarray) -> list[Image.Image]:
+    """(B, H, W, 3) in [-1, 1] -> list of PIL images (uint8).
+
+    Matches `(x/2+0.5).clamp(0,1) * 255 round` (`pipeline.py:324-326`).
+    """
+    x = np.asarray(decoded, dtype=np.float32)
+    x = np.clip(x / 2.0 + 0.5, 0.0, 1.0)
+    x = np.clip(np.round(x * 255.0), 0, 255).astype(np.uint8)
+    return [Image.fromarray(img) for img in x]
+
+
+def make_image_grid(
+    images: list[Image.Image] | np.ndarray,
+    nrow: int = 3,
+    padding: int = 2,
+) -> Image.Image:
+    """Tile images into a grid (reference `utils.py:6-22`)."""
+    if not isinstance(images, (list, tuple)):
+        images = to_pil_images(images)
+    if len(images) == 0:
+        raise ValueError("no images to grid")
+    w, h = images[0].size
+    ncol = min(nrow, len(images))
+    nrows = -(-len(images) // ncol)
+    grid = Image.new(
+        "RGB",
+        (ncol * w + (ncol - 1) * padding, nrows * h + (nrows - 1) * padding),
+        (0, 0, 0),
+    )
+    for i, img in enumerate(images):
+        r, c = divmod(i, ncol)
+        grid.paste(img, (c * (w + padding), r * (h + padding)))
+    return grid

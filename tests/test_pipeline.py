@@ -1,0 +1,132 @@
+"""End-to-end pipeline tests: tiny random DiT + VAE, save/load roundtrip,
+CLI. This is BASELINE.json config 1 (tiny random-init DiT + VAE decode,
+CPU fp32) at reduced size."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from f_lite_tpu.models.dit import DiT, DiTConfig
+from f_lite_tpu.models.vae import AutoencoderKL, VAEConfig
+from f_lite_tpu.ops.guidance import APGConfig
+from f_lite_tpu.pipeline import FLitePipeline, FLitePipelineOutput
+from f_lite_tpu.text.encoder import ZeroTextEncoder
+
+DIT_CFG = DiTConfig(
+    in_channels=4, patch_size=2, hidden_size=64, depth=2, num_heads=4,
+    mlp_ratio=2.0, cross_attn_input_size=32, use_pallas_attention=False,
+)
+VAE_CFG = VAEConfig.tiny()  # latent_channels=4, /2 spatial
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    dit = DiT(DIT_CFG)
+    dit_params = dit.init_params(jax.random.key(0), text_len=8, image_size=8)
+    dit_params = jax.tree.map(lambda p: p + 0.01, dit_params)
+    vae = AutoencoderKL(VAE_CFG)
+    vae_params = vae.init(jax.random.key(1), jnp.zeros((1, 8, 8, 3)))
+    te = ZeroTextEncoder(embed_dim=32, seq_len=8)
+    return FLitePipeline(dit, dit_params, vae, vae_params, te)
+
+
+class TestPipeline:
+    def test_generate_pil(self, pipe):
+        out = pipe(
+            prompt="a cat", height=32, width=32,
+            num_inference_steps=2, guidance_scale=6.0, seed=7,
+        )
+        assert isinstance(out, FLitePipelineOutput)
+        assert len(out.images) == 1
+        img = out.images[0]
+        assert isinstance(img, Image.Image)
+        assert img.size == (32, 32)
+
+    def test_batch_and_multi_per_prompt(self, pipe):
+        out = pipe(
+            prompt=["a", "b"], height=16, width=16,
+            num_inference_steps=1, num_images_per_prompt=2, seed=1,
+        )
+        assert len(out.images) == 4
+
+    def test_seed_determinism(self, pipe):
+        kw = dict(prompt="x", height=16, width=16, num_inference_steps=2,
+                  seed=5, output_type="np")
+        a = pipe(**kw).images
+        b = pipe(**kw).images
+        np.testing.assert_array_equal(a, b)
+        c = pipe(**{**kw, "seed": 6}).images
+        assert not np.array_equal(a, c)
+
+    def test_negative_prompt_changes_output(self, pipe):
+        kw = dict(prompt="x", height=16, width=16, num_inference_steps=2,
+                  seed=3, output_type="np")
+        a = pipe(**kw).images
+        b = pipe(**kw, negative_prompt="bad").images
+        assert not np.array_equal(a, b)
+
+    def test_apg(self, pipe):
+        out = pipe(
+            prompt="y", height=16, width=16, num_inference_steps=2,
+            apg_config=APGConfig(enabled=True), seed=2, output_type="np",
+        )
+        assert np.isfinite(out.images).all()
+
+    def test_non_square_aspect(self, pipe):
+        out = pipe(prompt="z", height=16, width=24, num_inference_steps=1,
+                   seed=0)
+        assert out.images[0].size == (24, 16)  # PIL (w, h)
+
+    def test_injected_embeddings(self, pipe):
+        emb = np.zeros((1, 8, 32), np.float32)
+        out = pipe(
+            prompt_embeds=emb, height=16, width=16, num_inference_steps=1,
+            seed=0,
+        )
+        assert len(out.images) == 1
+
+    def test_return_latents(self, pipe):
+        out = pipe(prompt="q", height=16, width=16, num_inference_steps=1,
+                   seed=0, return_latents=True)
+        assert out.images.shape == (1, 8, 8, 4)  # /2 tiny VAE scale
+
+
+class TestSaveLoad:
+    def test_roundtrip(self, pipe, tmp_path):
+        pipe.save_pretrained(tmp_path)
+        assert (tmp_path / "model_index.json").exists()
+        cfg = json.loads((tmp_path / "dit" / "config.json").read_text())
+        assert cfg["hidden_size"] == 64
+
+        pipe2 = FLitePipeline.from_pretrained(
+            tmp_path, dtype=jnp.float32, load_text_encoder=False
+        )
+        pipe2.text_encoder = ZeroTextEncoder(embed_dim=32, seq_len=8)
+        kw = dict(prompt="same", height=16, width=16,
+                  num_inference_steps=2, seed=9, output_type="np")
+        a = pipe(**kw).images
+        b = pipe2(**kw).images
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+class TestCLI:
+    def test_generate_cli(self, pipe, tmp_path):
+        from f_lite_tpu.generate import main
+
+        model_dir = tmp_path / "model"
+        pipe.save_pretrained(model_dir)
+        out_file = tmp_path / "img.png"
+        paths = main([
+            "--prompt", "a tiny test", "--model", str(model_dir),
+            "--width", "16", "--height", "16",
+            "--num_inference_steps", "1", "--num_images", "2",
+            "--output_file", str(out_file), "--no_text_encoder",
+        ])
+        assert len(paths) == 2
+        for p in paths:
+            assert p.exists()
+            assert Image.open(p).size == (16, 16)
