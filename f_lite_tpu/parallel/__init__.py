@@ -1,0 +1,14 @@
+from f_lite_tpu.parallel.mesh import LOGICAL_RULES, create_mesh
+from f_lite_tpu.parallel.sharding import (
+    batch_sharding,
+    infer_param_shardings,
+    shard_params,
+)
+
+__all__ = [
+    "LOGICAL_RULES",
+    "create_mesh",
+    "batch_sharding",
+    "infer_param_shardings",
+    "shard_params",
+]
