@@ -1,0 +1,119 @@
+"""Threaded prefetching data loader (host-side TPU input pipeline).
+
+Replaces the reference's torch DataLoader with 4 workers
+(`train.py:186-231`): items fetched in a thread pool (IO-bound image
+fetching releases the GIL in requests/PIL), collated into numpy batches,
+and a bounded prefetch queue keeps the accelerator fed while the host
+decodes the next batch.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterable
+
+
+class DataLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int | None = None,
+        sampler: Iterable | None = None,
+        batch_sampler: Iterable | None = None,
+        num_workers: int = 4,
+        prefetch: int = 2,
+        collate_fn=None,
+        drop_last: bool = False,
+    ):
+        self.drop_last = drop_last
+        if batch_sampler is not None and batch_size is not None:
+            raise ValueError("pass batch_size or batch_sampler, not both")
+        self.dataset = dataset
+        self.batch_size = batch_size or 1
+        self.sampler = sampler
+        self.batch_sampler = batch_sampler
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.collate_fn = collate_fn or getattr(
+            dataset, "collate_fn", _default_collate
+        )
+
+    def _batches(self):
+        if self.batch_sampler is not None:
+            yield from self.batch_sampler
+        else:
+            sampler = (
+                self.sampler
+                if self.sampler is not None
+                else range(len(self.dataset))
+            )
+            buf = []
+            for idx in sampler:
+                buf.append(idx)
+                if len(buf) == self.batch_size:
+                    yield buf
+                    buf = []
+            if buf and not self.drop_last:
+                yield buf
+
+    def __len__(self):
+        if self.batch_sampler is not None:
+            return len(self.batch_sampler)
+        n = (
+            len(self.sampler)
+            if self.sampler is not None
+            else len(self.dataset)
+        )
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def __iter__(self):
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                try:
+                    for batch_idx in self._batches():
+                        if stop.is_set():
+                            return
+                        items = list(
+                            pool.map(self.dataset.__getitem__, batch_idx)
+                        )
+                        q.put(self.collate_fn(items))
+                except Exception as e:  # surface worker errors to consumer
+                    q.put(e)
+                finally:
+                    q.put(_END)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    return
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+
+_END = object()
+
+
+def _default_collate(items):
+    import numpy as np
+
+    out = {}
+    for k in items[0]:
+        vals = [it[k] for it in items]
+        if isinstance(vals[0], np.ndarray):
+            out[k] = np.stack(vals)
+        else:
+            out[k] = vals
+    return out

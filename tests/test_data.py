@@ -1,0 +1,227 @@
+"""Data engine tests: crop math, buckets, dummy backend, samplers, loader,
+collate homogenization, placeholder fault tolerance."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from f_lite_tpu.data import (
+    DataLoader,
+    ImageDataset,
+    ResolutionBucketSampler,
+    StatefulDistributedSampler,
+    center_crop_arr,
+    center_crop_arr_simulator,
+    generate_crop_size_list,
+)
+
+
+def _write_parquet_dataset(tmp_path, n=32, seed=0):
+    rs = np.random.RandomState(seed)
+    sizes = [(640, 480), (512, 512), (300, 700), (1024, 768)]
+    rows = []
+    for i in range(n):
+        w, h = sizes[i % len(sizes)]
+        rows.append({
+            "source_id": f"img{i}",
+            "media_path": f"dummy://bucket/img_{i}.jpg",
+            "captions": [f"caption {i}", f"alt caption {i}"],
+            "width": w,
+            "height": h,
+            "media_source": "freepik" if i % 5 else "laion",
+            "media_type": "real" if i % 2 else "ai",
+        })
+    d = tmp_path / "coll" / "a" / "b"
+    d.mkdir(parents=True)
+    pd.DataFrame(rows).to_parquet(d / "part0.parquet")
+    return tmp_path
+
+
+class TestCropMath:
+    def test_crop_size_list_square(self):
+        sizes = generate_crop_size_list(256, max_ratio=1.0)
+        assert (256, 256) in sizes
+        for w, h in sizes:
+            assert w % 16 == 0 and h % 16 == 0
+
+    def test_crop_size_list_aspects(self):
+        sizes = generate_crop_size_list(256, max_ratio=2.0)
+        assert any(w > h for w, h in sizes)
+        assert any(h > w for w, h in sizes)
+        for w, h in sizes:
+            assert min(w, h) >= 256
+
+    def test_simulator_matches_real_crop(self):
+        from PIL import Image
+
+        for orig in [(640, 480), (300, 700), (512, 512)]:
+            sim = center_crop_arr_simulator(orig, 256, 2.0)
+            img = Image.new("RGB", orig)
+            real = center_crop_arr(img, 256, 2.0).size
+            assert sim == real
+
+    def test_crop_output_in_range(self):
+        from PIL import Image
+
+        from f_lite_tpu.data.dataset import normalize_image
+
+        img = Image.effect_noise((300, 200), 64).convert("RGB")
+        arr = normalize_image(center_crop_arr(img, 128, 2.0))
+        assert arr.min() >= -1.0 and arr.max() <= 1.0
+        assert arr.dtype == np.float32
+
+
+class TestImageDataset:
+    def test_load_and_getitem(self, tmp_path):
+        root = _write_parquet_dataset(tmp_path)
+        ds = ImageDataset(
+            "coll", base_image_dir=str(root), resolution=128,
+            center_crop=False, base_url="dummy://",
+        )
+        # laion rows filtered out
+        assert (ds.data["media_source"] != "laion").all()
+        item = ds[0]
+        assert item["image"].ndim == 3 and item["image"].shape[2] == 3
+        assert item["caption"].startswith(("caption", "alt caption"))
+        assert item["media_type"] in ("real", "ai")
+
+    def test_buckets_group_by_shape(self, tmp_path):
+        root = _write_parquet_dataset(tmp_path)
+        ds = ImageDataset(
+            "coll", base_image_dir=str(root), resolution=128,
+            center_crop=False,
+        )
+        buckets = ds.setup_aspect_ratio_buckets()
+        assert sum(len(v) for v in buckets.values()) == len(ds)
+        assert len(buckets) > 1  # multiple aspect ratios present
+
+    def test_failure_placeholder(self, tmp_path):
+        root = _write_parquet_dataset(tmp_path)
+        ds = ImageDataset(
+            "coll", base_image_dir=str(root), resolution=128,
+            center_crop=False, base_url="file://",  # paths don't exist
+        )
+        item = ds[0]
+        assert item["_id"] == "-1"
+        assert item["caption"] == ""
+        # placeholder has the bucket shape the real image would have had
+        w, h = center_crop_arr_simulator(
+            (int(ds.data.iloc[0]["width"]), int(ds.data.iloc[0]["height"])),
+            128, 2.0,
+        )
+        assert item["image"].shape == (h, w, 3)
+
+    def test_collate_homogenizes(self, tmp_path):
+        root = _write_parquet_dataset(tmp_path)
+        ds = ImageDataset("coll", base_image_dir=str(root), resolution=128,
+                          center_crop=False)
+        a = {"image": np.zeros((128, 128, 3), np.float32), "caption": "a",
+             "index": 0}
+        b = {"image": np.zeros((128, 128, 3), np.float32), "caption": "b",
+             "index": 1}
+        c = {"image": np.zeros((112, 144, 3), np.float32), "caption": "c",
+             "index": 2}
+        out = ds.collate_fn([a, b, c])
+        assert out["image"].shape == (3, 128, 128, 3)
+
+    def test_json_metadata(self, tmp_path):
+        import json
+
+        rows = [{
+            "source_id": "x", "media_path": "dummy://x.jpg",
+            "captions": ["hi"], "width": 512, "height": 512,
+            "media_source": "freepik", "media_type": "real",
+        }]
+        (tmp_path / "c.json").write_text(json.dumps(rows))
+        ds = ImageDataset("c", base_image_dir=str(tmp_path),
+                          root_dir_type="json", resolution=128)
+        assert len(ds.data) == 1
+        assert ds[0]["caption"] == "hi"
+
+
+class TestSamplers:
+    def _ds(self, n=100):
+        class _D:
+            def __len__(self):
+                return n
+
+        return _D()
+
+    def test_rank_striding_partitions(self):
+        ds = self._ds(100)
+        seen = []
+        for rank in range(4):
+            s = StatefulDistributedSampler(ds, batch_size=2, num_replicas=4,
+                                           rank=rank)
+            seen.extend(list(s))
+        assert sorted(seen) == list(range(100))
+
+    def test_resume_state(self):
+        ds = self._ds(100)
+        s = StatefulDistributedSampler(ds, batch_size=4, num_replicas=1,
+                                       rank=0)
+        state = s.state_dict(global_step=7)
+        assert state["start_index"] == 28
+        s2 = StatefulDistributedSampler(ds, batch_size=4, num_replicas=1,
+                                        rank=0)
+        s2.load_state_dict(state)
+        assert list(s2) == list(range(28, 100))
+
+    def test_shuffle_deterministic_per_epoch(self):
+        ds = self._ds(50)
+        s = StatefulDistributedSampler(ds, 2, 1, 0, shuffle=True, seed=1)
+        s.set_epoch(3)
+        a = list(s)
+        s.set_epoch(3)
+        assert list(s) == a
+        s.set_epoch(4)
+        assert list(s) != a
+
+    def test_bucket_sampler_batches_one_bucket(self, tmp_path):
+        root = _write_parquet_dataset(tmp_path)
+        ds = ImageDataset("coll", base_image_dir=str(root), resolution=128,
+                          center_crop=False)
+        bs = ResolutionBucketSampler(ds, batch_size=2, num_replicas=2,
+                                     rank=0, seed=0)
+        inv = {}
+        for aspect, idxs in ds.aspect_ratio_buckets.items():
+            for i in idxs:
+                inv[i] = aspect
+        for batch in bs:
+            aspects = {inv[i] for i in batch}
+            assert len(aspects) == 1
+            assert len(batch) == 2
+
+    def test_bucket_sampler_resume(self, tmp_path):
+        root = _write_parquet_dataset(tmp_path)
+        ds = ImageDataset("coll", base_image_dir=str(root), resolution=128,
+                          center_crop=False)
+        bs = ResolutionBucketSampler(ds, batch_size=2, shuffle=True, seed=5)
+        all_batches = list(bs)
+        bs.load_state_dict({"start_batch_index": 3, "epoch": 0, "seed": 5})
+        assert list(bs) == all_batches[3:]
+
+
+class TestLoader:
+    def test_iterates_batches(self, tmp_path):
+        root = _write_parquet_dataset(tmp_path)
+        ds = ImageDataset("coll", base_image_dir=str(root), resolution=128,
+                          center_crop=True)
+        dl = DataLoader(ds, batch_size=4, num_workers=2, drop_last=True)
+        batches = list(dl)
+        assert len(batches) == len(ds) // 4 == len(dl)
+        b = batches[0]
+        assert b["image"].shape[0] == 4
+        assert len(b["caption"]) == 4
+
+    def test_bucket_loader(self, tmp_path):
+        root = _write_parquet_dataset(tmp_path)
+        ds = ImageDataset("coll", base_image_dir=str(root), resolution=128,
+                          center_crop=False)
+        bs = ResolutionBucketSampler(ds, batch_size=2)
+        dl = DataLoader(ds, batch_sampler=bs, num_workers=2)
+        n = 0
+        for b in dl:
+            assert b["image"].shape[0] == 2
+            n += 1
+        assert n == len(bs)
