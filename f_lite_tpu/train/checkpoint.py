@@ -1,0 +1,110 @@
+"""Checkpoint/resume: Orbax-backed sharded state + sampler state + retention.
+
+Reference semantics preserved (`/root/reference/f_lite/checkpoint.py`,
+`train.py:1077-1097`):
+- step-numbered dirs `{output_dir}/checkpoints/{step}/` holding model+optim
+  state and `sampler_state.json` (reference: `dcp_api/{step}/` with
+  model/optim/sampler .pt files, `checkpoint.py:20-23,221-231`);
+- `latest` = max numeric dirname (`checkpoint.py:26-39`);
+- retention pruning to `checkpoints_total_limit`, oldest first
+  (`train.py:1084-1097`).
+
+Unlike the reference's gather-to-rank-0 full-state-dict save
+(`checkpoint.py:158-219`), Orbax writes each shard from its home device —
+no all-gather spike, and restore re-shards directly onto the target mesh
+via the abstract-state shardings.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+from pathlib import Path
+from typing import Any
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class Checkpointer:
+    def __init__(self, output_dir: str | Path, total_limit: int | None = None):
+        self.root = Path(output_dir).resolve() / "checkpoints"
+        self.root.mkdir(parents=True, exist_ok=True)
+        self.total_limit = total_limit
+        self._ckptr = ocp.StandardCheckpointer()
+
+    # ---- discovery (`checkpoint.py:26-39`) ------------------------------
+    def steps(self) -> list[int]:
+        out = []
+        for d in self.root.iterdir():
+            if d.is_dir() and d.name.isdigit():
+                out.append(int(d.name))
+        return sorted(out)
+
+    @property
+    def last_training_time(self) -> int | None:
+        s = self.steps()
+        return s[-1] if s else None
+
+    def _dir(self, step: int) -> Path:
+        return self.root / str(step)
+
+    # ---- save -----------------------------------------------------------
+    def save(
+        self,
+        step: int,
+        state: Any,
+        sampler_state: dict | None = None,
+        *,
+        wait: bool = True,
+    ):
+        d = self._dir(step)
+        self._ckptr.save(d / "state", state, force=True)
+        if wait:
+            self._ckptr.wait_until_finished()
+        if sampler_state is not None:
+            (d / "sampler_state.json").write_text(
+                json.dumps(sampler_state, indent=2)
+            )
+        self.prune()
+        return d
+
+    # ---- load -----------------------------------------------------------
+    def load(self, step: int | str, abstract_state: Any) -> Any:
+        """`abstract_state`: jax.eval_shape of the state, optionally with
+        `.sharding` set on leaves to restore straight onto the mesh."""
+        if step == "latest":
+            step = self.last_training_time
+            if step is None:
+                raise FileNotFoundError(f"no checkpoints under {self.root}")
+        return self._ckptr.restore(
+            self._dir(int(step)) / "state", abstract_state
+        )
+
+    def load_sampler_state(self, step: int | str) -> dict | None:
+        if step == "latest":
+            step = self.last_training_time
+            if step is None:
+                return None
+        f = self._dir(int(step)) / "sampler_state.json"
+        return json.loads(f.read_text()) if f.exists() else None
+
+    # ---- retention (`train.py:1084-1097`) -------------------------------
+    def prune(self):
+        if self.total_limit is None:
+            return
+        steps = self.steps()
+        while len(steps) > self.total_limit:
+            victim = steps.pop(0)
+            shutil.rmtree(self._dir(victim), ignore_errors=True)
+
+
+def abstract_like(state, shardings=None):
+    """Abstract pytree for `Checkpointer.load`, optionally sharded."""
+    shapes = jax.eval_shape(lambda: state)
+    if shardings is None:
+        return shapes
+    return jax.tree.map(
+        lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
+        shapes, shardings,
+    )
