@@ -1,0 +1,166 @@
+"""Hermetic end-to-end trainer tests: dummy data backend, tiny model,
+checkpoint/resume, LoRA mode, precompute -> precomputed training."""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from f_lite_tpu.train.trainer import parse_args, train
+
+
+def _write_parquet_dataset(tmp_path, n=24, res_uniform=True):
+    rows = []
+    for i in range(n):
+        rows.append({
+            "source_id": f"img{i}",
+            "media_path": f"dummy://b/img_{i}.jpg",
+            "captions": [f"caption {i}"],
+            "width": 512 if res_uniform else (512 if i % 2 else 640),
+            "height": 512 if res_uniform else (512 if i % 2 else 480),
+            "media_source": "freepik",
+            "media_type": "real",
+        })
+    d = tmp_path / "coll" / "x" / "y"
+    d.mkdir(parents=True)
+    pd.DataFrame(rows).to_parquet(d / "p.parquet")
+    return tmp_path
+
+
+def _base_argv(tmp_path, out):
+    return [
+        "--train_data_path", "coll",
+        "--base_image_dir", str(tmp_path),
+        "--base_url", "dummy://",
+        "--resolution", "64",
+        "--center_crop",
+        "--model_width", "64",
+        "--model_depth", "2",
+        "--model_head_dim", "16",
+        "--cross_attn_input_size", "32",
+        "--train_batch_size", "4",
+        "--learning_rate", "1e-3",
+        "--output_dir", str(out),
+        "--num_workers", "2",
+        "--seed", "0",
+        "--log_every", "2",
+        "--sample_every", "0",
+        "--eval_every", "0",
+        "--report_to", "none",
+        "--debug",
+    ]
+
+
+class TestTrainLoop:
+    def test_steps_and_checkpoint(self, tmp_path):
+        root = _write_parquet_dataset(tmp_path)
+        out = tmp_path / "out"
+        args = parse_args(_base_argv(root, out) + [
+            "--max_steps", "4", "--checkpointing_steps", "2",
+        ])
+        result = train(args)
+        assert result["global_step"] == 4
+        assert np.isfinite(result["train/loss"])
+        ckpts = sorted(
+            int(d.name) for d in (out / "checkpoints").iterdir()
+            if d.name.isdigit()
+        )
+        assert 2 in ckpts and 4 in ckpts
+
+    def test_resume(self, tmp_path):
+        root = _write_parquet_dataset(tmp_path)
+        out = tmp_path / "out"
+        args = parse_args(_base_argv(root, out) + [
+            "--max_steps", "2", "--checkpointing_steps", "2",
+        ])
+        train(args)
+        args2 = parse_args(_base_argv(root, out) + [
+            "--max_steps", "4", "--checkpointing_steps", "2",
+            "--resume_from_checkpoint", "latest",
+        ])
+        result = train(args2)
+        assert result["global_step"] == 4
+
+    def test_lora_training(self, tmp_path):
+        root = _write_parquet_dataset(tmp_path)
+        out = tmp_path / "out"
+        args = parse_args(_base_argv(root, out) + [
+            "--max_steps", "2", "--checkpointing_steps", "100",
+            "--use_lora", "--train_only_lora", "--lora_rank", "4",
+            "--lora_alpha", "4",
+        ])
+        result = train(args)
+        assert result["global_step"] == 2
+        final = out / "checkpoints" / "2"
+        assert (final / "lora_weights.safetensors").exists()
+
+    def test_validation_and_sampling(self, tmp_path):
+        root = _write_parquet_dataset(tmp_path)
+        out = tmp_path / "out"
+        args = parse_args(_base_argv(root, out) + [
+            "--max_steps", "2",
+            "--checkpointing_steps", "100",
+            "--val_data_path", "coll",
+            "--eval_every", "2",
+            "--sample_every", "2",
+        ])
+        result = train(args)
+        assert "val/loss" in result
+        assert (out / "samples" / "step_2.png").exists()
+
+    def test_resolution_buckets(self, tmp_path):
+        root = _write_parquet_dataset(tmp_path, res_uniform=False)
+        out = tmp_path / "out"
+        args = parse_args(_base_argv(root, out) + [
+            "--max_steps", "3", "--checkpointing_steps", "100",
+            "--use_resolution_buckets",
+        ])
+        # remove --center_crop to allow aspect buckets
+        result = train(args)
+        assert result["global_step"] == 3
+
+    def test_grad_accumulation(self, tmp_path):
+        root = _write_parquet_dataset(tmp_path)
+        out = tmp_path / "out"
+        args = parse_args(_base_argv(root, out) + [
+            "--max_steps", "4", "--checkpointing_steps", "100",
+            "--gradient_accumulation_steps", "2",
+        ])
+        result = train(args)
+        assert result["global_step"] == 4
+
+
+class TestPrecomputedPath:
+    def test_precompute_then_train(self, tmp_path):
+        import sys
+        sys.path.insert(0, "tools")
+        from precompute_embeddings import main as precompute_main
+
+        root = _write_parquet_dataset(tmp_path, n=16)
+        cache = tmp_path / "cache"
+        n = precompute_main([
+            "--train_data_path", "coll",
+            "--base_image_dir", str(root),
+            "--resolution", "64",
+            "--center_crop",
+            "--cross_attn_input_size", "32",
+            "--output_dir", str(cache),
+            "--batch_size", "4",
+        ])
+        assert n == 16
+        mapping = json.loads(
+            (cache / "precomputed_mapping.json").read_text()
+        )
+        assert len(mapping["entries"]) == 16
+
+        out = tmp_path / "out"
+        args = parse_args(_base_argv(root, out) + [
+            "--max_steps", "2", "--checkpointing_steps", "100",
+            "--use_precomputed_data",
+            "--precomputed_data_dir", str(cache),
+            "--sample_every", "0",
+        ])
+        result = train(args)
+        assert result["global_step"] == 2
+        assert np.isfinite(result["train/loss"])
