@@ -1,0 +1,95 @@
+"""ComfyUI node for F-Lite on TPU.
+
+Reference: `/root/reference/f_lite/comfyui.py` (FLiteNode with model
+dropdown, pipeline cache keyed on load options, APG toggle) and the root
+`__init__.py` module-aliasing shim. This node drives the JAX pipeline and
+hands ComfyUI a torch tensor at the boundary (ComfyUI's IMAGE format:
+(B, H, W, 3) float in [0, 1]).
+
+Install: symlink/copy the repo into ComfyUI/custom_nodes and ensure
+f_lite_tpu is importable; ComfyUI discovers NODE_CLASS_MAPPINGS below.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_PIPELINE_CACHE: dict = {}
+
+MODEL_CHOICES = [
+    "Freepik/F-Lite",
+    "Freepik/F-Lite-Texture",
+    "Freepik/F-Lite-7B",
+]
+
+
+def _get_pipeline(model_path: str, vae_tiling: bool):
+    key = (model_path, vae_tiling)
+    pipe = _PIPELINE_CACHE.get(key)
+    if pipe is None:
+        from f_lite_tpu.pipeline import FLitePipeline
+
+        pipe = FLitePipeline.from_pretrained(model_path)
+        if vae_tiling:
+            pipe.enable_vae_tiling()
+        _PIPELINE_CACHE.clear()  # one resident pipeline (like the ref cache)
+        _PIPELINE_CACHE[key] = pipe
+    return pipe
+
+
+class FLiteNode:
+    """Text-to-image via the f-lite-tpu pipeline."""
+
+    CATEGORY = "F-Lite"
+    FUNCTION = "generate"
+    RETURN_TYPES = ("IMAGE",)
+
+    @classmethod
+    def INPUT_TYPES(cls):
+        return {
+            "required": {
+                "model": (MODEL_CHOICES, {"default": MODEL_CHOICES[0]}),
+                "prompt": ("STRING", {"multiline": True, "default": ""}),
+                "negative_prompt": ("STRING", {"multiline": True,
+                                               "default": ""}),
+                "width": ("INT", {"default": 1344, "min": 256, "max": 2048,
+                                  "step": 16}),
+                "height": ("INT", {"default": 896, "min": 256, "max": 2048,
+                                   "step": 16}),
+                "steps": ("INT", {"default": 30, "min": 1, "max": 100}),
+                "guidance_scale": ("FLOAT", {"default": 6.0, "min": 0.0,
+                                             "max": 20.0, "step": 0.5}),
+                "seed": ("INT", {"default": 0, "min": 0,
+                                 "max": 2**31 - 1}),
+                "use_apg": ("BOOLEAN", {"default": False}),
+                "vae_tiling": ("BOOLEAN", {"default": False}),
+            }
+        }
+
+    def generate(self, model, prompt, negative_prompt, width, height,
+                 steps, guidance_scale, seed, use_apg, vae_tiling):
+        from f_lite_tpu.ops.guidance import APGConfig
+
+        pipe = _get_pipeline(model, vae_tiling)
+        out = pipe(
+            prompt=prompt,
+            negative_prompt=negative_prompt or None,
+            width=width, height=height,
+            num_inference_steps=steps,
+            guidance_scale=guidance_scale,
+            seed=seed,
+            apg_config=APGConfig(enabled=True) if use_apg else None,
+            output_type="np",
+        )
+        # ComfyUI IMAGE: torch float tensor (B, H, W, 3) in [0, 1]
+        imgs = np.clip(np.asarray(out.images) / 2.0 + 0.5, 0.0, 1.0)
+        try:
+            import torch
+
+            return (torch.from_numpy(imgs.astype(np.float32)),)
+        except ImportError:  # headless testing without torch
+            return (imgs.astype(np.float32),)
+
+
+NODE_CLASS_MAPPINGS = {"FLiteTPU": FLiteNode}
+NODE_DISPLAY_NAME_MAPPINGS = {"FLiteTPU": "F-Lite (TPU)"}

@@ -83,6 +83,8 @@ def parse_args(argv=None):
     p.add_argument("--fsdp", type=int, default=1,
                    help="0 = all remaining local devices")
     p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() (TPU pods)")
     # LoRA
     p.add_argument("--use_lora", action="store_true")
     p.add_argument("--train_only_lora", action="store_true")
@@ -357,6 +359,10 @@ def train(args) -> dict:
     from f_lite_tpu.train.step import TrainState, init_train_state
 
     t_start = time.time()
+    if args.multihost:
+        # multi-host rendezvous comes from the TPU-pod metadata — the
+        # torchrun/c10d equivalent (`slurm_pretrain.sbatch:82-87`) is free
+        jax.distributed.initialize()
     if args.use_precomputed_data and not args.precomputed_data_dir:
         raise SystemExit(
             "--use_precomputed_data requires --precomputed_data_dir"
