@@ -15,9 +15,9 @@ def to_pil_images(decoded: np.ndarray) -> list[Image.Image]:
 
     Matches `(x/2+0.5).clamp(0,1) * 255 round` (`pipeline.py:324-326`).
     """
-    x = np.asarray(decoded, dtype=np.float32)
-    x = np.clip(x / 2.0 + 0.5, 0.0, 1.0)
-    x = np.clip(np.round(x * 255.0), 0, 255).astype(np.uint8)
+    from f_lite_tpu import native
+
+    x = native.denormalize_to_u8(np.asarray(decoded, dtype=np.float32))
     return [Image.fromarray(img) for img in x]
 
 
