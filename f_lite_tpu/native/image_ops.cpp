@@ -16,10 +16,10 @@ extern "C" {
 
 // uint8 HWC -> float32 HWC in [-1, 1]; n = total elements.
 void normalize_u8_to_f32(const uint8_t* in, float* out, size_t n) {
-    constexpr float scale = 2.0f / 255.0f;
+    // division form keeps endpoints exact: 255 -> 1.0f, 0 -> -1.0f
 #pragma omp parallel for schedule(static)
     for (ptrdiff_t i = 0; i < (ptrdiff_t)n; ++i) {
-        out[i] = (float)in[i] * scale - 1.0f;
+        out[i] = (float)in[i] / 255.0f * 2.0f - 1.0f;
     }
 }
 
@@ -29,7 +29,6 @@ void normalize_batch_u8_to_f32(
     const uint8_t* in, float* out,
     size_t b, size_t h, size_t w, size_t c,
     const uint8_t* flip_flags) {
-    constexpr float scale = 2.0f / 255.0f;
     const size_t img = h * w * c;
     const size_t row = w * c;
 #pragma omp parallel for collapse(2) schedule(static)
@@ -42,11 +41,11 @@ void normalize_batch_u8_to_f32(
                     const uint8_t* sp = src + (w - 1 - x) * c;
                     float* dp = dst + x * c;
                     for (size_t ch = 0; ch < c; ++ch)
-                        dp[ch] = (float)sp[ch] * scale - 1.0f;
+                        dp[ch] = (float)sp[ch] / 255.0f * 2.0f - 1.0f;
                 }
             } else {
                 for (size_t i = 0; i < row; ++i)
-                    dst[i] = (float)src[i] * scale - 1.0f;
+                    dst[i] = (float)src[i] / 255.0f * 2.0f - 1.0f;
             }
         }
     }
