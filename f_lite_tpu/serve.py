@@ -1,0 +1,148 @@
+"""Batched serving: many prompts -> PNGs at maximum chip utilization.
+
+The north-star serving mode (BASELINE.json): drive the denoiser in fixed-
+shape batches straight from precomputed text-embedding caches (the
+`precompute_embeddings.py` serving path), optionally tensor-parallel over
+an ICI mesh. One jit compilation per (batch, resolution, steps) key; the
+denoise trajectory is the scan-under-jit sampler, so steady-state serving
+is one dispatch per batch.
+
+  python -m f_lite_tpu.serve --model <dir> --prompts prompts.txt \
+      --batch_size 4 --width 1024 --height 1024 --steps 30 \
+      [--precomputed_dir <cache>] [--tp 4] --output_dir outs/
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import time
+from pathlib import Path
+
+logger = logging.getLogger("f_lite_tpu.serve")
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description="batched F-Lite serving")
+    p.add_argument("--model", required=True)
+    p.add_argument("--prompts", required=True,
+                   help="text file, one prompt per line")
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--width", type=int, default=1024)
+    p.add_argument("--height", type=int, default=1024)
+    p.add_argument("--steps", type=int, default=30)
+    p.add_argument("--guidance_scale", type=float, default=6.0)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--precomputed_dir", type=str, default=None,
+                   help="serve text embeddings from a precompute cache")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel ways over local devices")
+    p.add_argument("--output_dir", type=str, default="outputs")
+    p.add_argument("--no_text_encoder", action="store_true")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO)
+    args = parse_args(argv)
+
+    import jax
+    import numpy as np
+
+    from f_lite_tpu.pipeline import FLitePipeline
+
+    prompts = [
+        l.strip() for l in Path(args.prompts).read_text().splitlines()
+        if l.strip()
+    ]
+    if not prompts:
+        raise SystemExit(f"no prompts in {args.prompts}")
+
+    pipe = FLitePipeline.from_pretrained(
+        args.model,
+        load_text_encoder=not (args.precomputed_dir or args.no_text_encoder),
+    )
+    if args.precomputed_dir:
+        from f_lite_tpu.text.encoder import PrecomputedTextEncoder
+
+        pipe.text_encoder = PrecomputedTextEncoder(args.precomputed_dir)
+    elif args.no_text_encoder:
+        from f_lite_tpu.text.encoder import ZeroTextEncoder
+
+        pipe.text_encoder = ZeroTextEncoder(
+            embed_dim=pipe.dit_model.config.cross_attn_input_size
+        )
+
+    if args.tp > 1:
+        from f_lite_tpu.parallel import create_mesh, infer_param_shardings, \
+            shard_params
+
+        mesh = create_mesh(dp=1, fsdp=1, tp=args.tp,
+                           devices=jax.devices()[: args.tp])
+        model = pipe.dit_model
+
+        def boxed_init():
+            return model.init(jax.random.key(0), *_dummy_inputs(model.config))
+
+        shardings = infer_param_shardings(boxed_init, mesh)
+        pipe.dit_params = shard_params(pipe.dit_params, shardings)
+        logger.info("sharded DiT tensor-parallel over %d chips", args.tp)
+
+    out_dir = Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    # pad the final batch so every dispatch reuses one compiled shape
+    bs = args.batch_size
+    n = len(prompts)
+    padded = prompts + [prompts[-1]] * ((-n) % bs)
+
+    results = []
+    t_start = time.perf_counter()
+    for bi in range(0, len(padded), bs):
+        chunk = padded[bi : bi + bs]
+        t0 = time.perf_counter()
+        out = pipe(
+            prompt=chunk,
+            height=args.height, width=args.width,
+            num_inference_steps=args.steps,
+            guidance_scale=args.guidance_scale,
+            seed=args.seed + bi,
+        )
+        dt = time.perf_counter() - t0
+        for j, img in enumerate(out.images):
+            idx = bi + j
+            if idx >= n:
+                break
+            f = out_dir / f"{idx:05d}.png"
+            img.save(f)
+            results.append({"prompt": prompts[idx], "file": str(f)})
+        logger.info("batch %d: %.2fs (%.2fs/image)",
+                    bi // bs, dt, dt / len(chunk))
+    wall = time.perf_counter() - t_start
+    manifest = {
+        "images": results,
+        "wall_s": wall,
+        "images_per_min": 60.0 * n / wall,
+    }
+    (out_dir / "manifest.json").write_text(json.dumps(manifest, indent=2))
+    print(json.dumps({
+        "images": n, "wall_s": round(wall, 2),
+        "images_per_min": round(60.0 * n / wall, 2),
+    }))
+    return manifest
+
+
+def _dummy_inputs(cfg):
+    import jax.numpy as jnp
+
+    return (
+        jnp.zeros((1, 32, 32, cfg.in_channels), cfg.dtype),
+        jnp.zeros((1, 32, cfg.cross_attn_input_size), cfg.dtype),
+        jnp.ones((1, 32), jnp.bool_),
+        jnp.zeros((1,), cfg.dtype),
+    )
+
+
+if __name__ == "__main__":
+    main()
