@@ -174,6 +174,15 @@ class FLitePipeline:
                         str(tok_dir) if tok_dir.exists() else str(te_dir),
                         return_index=index.get("return_index", -8),
                     )
+                elif te_type == "qwen2":
+                    from f_lite_tpu.text.qwen2 import Qwen2TextEncoder
+
+                    tok_dir = path / "tokenizer"
+                    text_encoder = Qwen2TextEncoder(
+                        str(te_dir),
+                        str(tok_dir) if tok_dir.exists() else str(te_dir),
+                        return_index=index.get("return_index", -8),
+                    )
                 else:
                     from f_lite_tpu.text.encoder import TorchTextEncoder
 

@@ -40,7 +40,7 @@ def parse_args(argv=None):
     p.add_argument("--vae_path", type=str, default=None)
     p.add_argument("--text_encoder_path", type=str, default=None)
     p.add_argument("--text_encoder_type", type=str, default="zero",
-                   choices=["t5", "torch", "zero", "precomputed"])
+                   choices=["t5", "qwen2", "torch", "zero", "precomputed"])
     p.add_argument("--model_width", type=int, default=3072)
     p.add_argument("--model_depth", type=int, default=40)
     p.add_argument("--model_head_dim", type=int, default=256)
@@ -150,6 +150,13 @@ def build_text_encoder(args):
         from f_lite_tpu.text.encoder import T5TextEncoder
 
         return T5TextEncoder(args.text_encoder_path)
+    if args.text_encoder_type == "qwen2" and args.text_encoder_path:
+        from f_lite_tpu.text.qwen2 import Qwen2TextEncoder
+        from f_lite_tpu.text.templates import training_chat_messages
+
+        return Qwen2TextEncoder(
+            args.text_encoder_path, message_fn=training_chat_messages
+        )
     if args.text_encoder_type == "torch" and args.text_encoder_path:
         from f_lite_tpu.text.encoder import TorchTextEncoder
         from f_lite_tpu.text.templates import training_chat_messages
