@@ -8,20 +8,21 @@ packing, sequences stay statically padded and padded *keys* are masked
 Masking model: per-batch *key prefix lengths* (scalar-prefetched to SMEM).
 Tokenizers right-pad, so every mask the pipeline produces is a prefix mask;
 `f_lite_tpu.ops.attention.attention` falls back to the XLA path for anything
-else. Lengths (not 2D masks) keep the kernel's hot loop free of vector mask
-loads and enable whole-k-block skipping later.
+else.
 
-Kernel shape: grid (B, H, num_q_blocks, num_k_blocks), k innermost. Online
-softmax carried in fp32 VMEM scratch across the k loop; stats live in
-(block_q, 128) lane-replicated tiles (Mosaic-friendly — no sublane-1
-broadcasts); QK^T and PV ride the MXU with fp32 accumulation; P is cast to
-the value dtype for the PV matmul (standard flash-attention precision). The
-accumulator is kept normalized every step (rescale by l_corr / l_next), so
-finalization is a plain cast.
+Forward: grid (B, H, num_q_blocks, num_k_blocks), k innermost; online
+softmax in fp32 VMEM scratch, stats in (block_q, 128) lane-replicated tiles
+(no sublane-1 broadcasts — Mosaic layout requirement); QK^T and PV on the
+MXU with fp32 accumulation; the accumulator is kept normalized every step.
+When gradients are needed the forward also emits the log-sum-exp residual
+(lane-replicated, like jax's reference kernel stores l/m).
 
-The backward pass recomputes attention with the XLA path and differentiates
-that — numerically identical math (both accumulate softmax in fp32), simple
-and correct; a fused Pallas backward is a later optimization.
+Backward: two Pallas kernels, O(L) memory (never materializes the L^2
+matrix — the property that makes 1024px+ training fit):
+- dq kernel, grid (B, H, nq, nk): recompute P from (q, k, lse), then
+  dP = dO V^T, D = rowsum(dO*O), dS = P (dP - D), dq += dS K * scale;
+- dkv kernel, grid (B, H, nk, nq): same recompute per (k, q) tile,
+  dv += P^T dO and dk += dS^T Q * scale.
 """
 
 from __future__ import annotations
@@ -33,8 +34,6 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from f_lite_tpu.ops.attention import attention_xla
-
 _NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 _LANES = 128
 
@@ -43,11 +42,20 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _fa_kernel(
-    len_ref, q_ref, k_ref, v_ref, o_ref,
-    m_scratch, l_scratch, acc_scratch,
-    *, scale: float, num_k_blocks: int, block_k: int, masked: bool,
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _fa_fwd_kernel(
+    len_ref, q_ref, k_ref, v_ref, *refs,
+    scale: float, num_k_blocks: int, block_k: int, masked: bool,
+    save_lse: bool,
 ):
+    if save_lse:
+        o_ref, lse_ref, m_scratch, l_scratch, acc_scratch = refs
+    else:
+        o_ref, m_scratch, l_scratch, acc_scratch = refs
+        lse_ref = None
     bi = pl.program_id(0)
     ki = pl.program_id(3)
 
@@ -78,7 +86,7 @@ def _fa_kernel(
     k_repeats = block_k // _LANES
     p = jnp.exp(s - jnp.tile(m_next, (1, k_repeats)))  # (bq, bk) fp32
     if masked:
-        # all-masked blocks would otherwise give exp(NEG_INF-NEG_INF)=1
+        # all-masked tiles would otherwise give exp(NEG_INF-NEG_INF)=1
         p = jnp.where(key_ok, p, 0.0)
 
     alpha = jnp.exp(m_prev - m_next)  # (bq, 128)
@@ -100,29 +108,17 @@ def _fa_kernel(
     @pl.when(ki == num_k_blocks - 1)
     def _finalize():
         o_ref[0, 0] = acc_scratch[:].astype(o_ref.dtype)
+        if save_lse:
+            safe_l = jnp.where(l_scratch[:] == 0.0, 1.0, l_scratch[:])
+            lse_ref[0, 0] = m_scratch[:] + jnp.log(safe_l)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _flash_attention(q, k, v, kv_lens, scale, block_q, block_k, interpret):
-    return _flash_forward(
-        q, k, v, kv_lens, scale, block_q, block_k, interpret
-    )
-
-
-def _flash_forward(q, k, v, kv_lens, scale, block_q, block_k, interpret):
+def _pad_qkv(q, k, v, block_q, block_k):
     b, h, lq, d = q.shape
     lk = k.shape[2]
-
     lq_p = _round_up(lq, block_q)
     lk_p = _round_up(lk, block_k)
     d_p = _round_up(d, _LANES)
-
-    masked = kv_lens is not None or lk_p != lk
-    if kv_lens is None:
-        lens = jnp.full((b,), lk, jnp.int32)
-    else:
-        lens = kv_lens.astype(jnp.int32)
-
     if lq_p != lq:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, lq_p - lq), (0, 0)))
     if lk_p != lk:
@@ -132,83 +128,305 @@ def _flash_forward(q, k, v, kv_lens, scale, block_q, block_k, interpret):
         q = jnp.pad(q, ((0, 0), (0, 0), (0, 0), (0, d_p - d)))
         k = jnp.pad(k, ((0, 0), (0, 0), (0, 0), (0, d_p - d)))
         v = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, d_p - d)))
+    return q, k, v, (lq, lk, d, lq_p, lk_p, d_p)
 
-    nq = lq_p // block_q
-    nk = lk_p // block_k
+
+def _flash_forward(q, k, v, kv_lens, scale, block_q, block_k, interpret,
+                   save_lse=False):
+    b, h = q.shape[:2]
+    q, k, v, (lq, lk, d, lq_p, lk_p, d_p) = _pad_qkv(q, k, v, block_q,
+                                                     block_k)
+    masked = kv_lens is not None or lk_p != lk
+    lens = (jnp.full((b,), lk, jnp.int32) if kv_lens is None
+            else kv_lens.astype(jnp.int32))
+    nq, nk = lq_p // block_q, lk_p // block_k
 
     kernel = functools.partial(
-        _fa_kernel,
-        scale=scale, num_k_blocks=nk, block_k=block_k, masked=masked,
+        _fa_fwd_kernel, scale=scale, num_k_blocks=nk, block_k=block_k,
+        masked=masked, save_lse=save_lse,
     )
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(b, h, nq, nk),
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, block_q, d_p),
-                lambda bi, hi, qi, ki, s_: (bi, hi, qi, 0),
-            ),
-            pl.BlockSpec(
-                (1, 1, block_k, d_p),
-                lambda bi, hi, qi, ki, s_: (bi, hi, ki, 0),
-            ),
-            pl.BlockSpec(
-                (1, 1, block_k, d_p),
-                lambda bi, hi, qi, ki, s_: (bi, hi, ki, 0),
-            ),
-        ],
-        out_specs=pl.BlockSpec(
+    qkv_spec = lambda which: pl.BlockSpec(
+        (1, 1, block_q if which == "q" else block_k, d_p),
+        (lambda bi, hi, qi, ki, s_: (bi, hi, qi, 0)) if which == "q"
+        else (lambda bi, hi, qi, ki, s_: (bi, hi, ki, 0)),
+    )
+    out_specs = [
+        pl.BlockSpec(
             (1, 1, block_q, d_p),
             lambda bi, hi, qi, ki, s_: (bi, hi, qi, 0),
         ),
+    ]
+    out_shape = [jax.ShapeDtypeStruct((b, h, lq_p, d_p), q.dtype)]
+    if save_lse:
+        out_specs.append(
+            pl.BlockSpec(
+                (1, 1, block_q, _LANES),
+                lambda bi, hi, qi, ki, s_: (bi, hi, qi, 0),
+            )
+        )
+        out_shape.append(
+            jax.ShapeDtypeStruct((b, h, lq_p, _LANES), jnp.float32)
+        )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, h, nq, nk),
+        in_specs=[qkv_spec("q"), qkv_spec("k"), qkv_spec("k")],
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((block_q, _LANES), jnp.float32),
             pltpu.VMEM((block_q, _LANES), jnp.float32),
             pltpu.VMEM((block_q, d_p), jnp.float32),
         ],
     )
-
-    out = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, h, lq_p, d_p), q.dtype),
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * lq_p * lk_p * d_p,
-            bytes_accessed=(
-                q.size + k.size + v.size + b * h * lq_p * d_p
-            ) * q.dtype.itemsize,
+            bytes_accessed=(q.size + k.size + v.size
+                            + b * h * lq_p * d_p) * q.dtype.itemsize,
             transcendentals=b * h * lq_p * lk_p,
         ),
         interpret=interpret,
     )(lens, q, k, v)
+    out = outs[0]
+    lse = outs[1] if save_lse else None
 
     if lq_p != lq or d_p != d:
-        out = out[:, :, :lq, :d]
+        out_s = out[:, :, :lq, :d]
+    else:
+        out_s = out
+    return out_s, (out, lse)
+
+
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
+
+def _dq_kernel(
+    len_ref, q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, dq_ref,
+    dq_scratch,
+    *, scale: float, num_k_blocks: int, block_k: int, masked: bool,
+):
+    bi = pl.program_id(0)
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_scratch[:] = jnp.zeros_like(dq_scratch)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
+    o = o_ref[0, 0]
+    lse = lse_ref[0, 0]  # (bq, 128) lane-replicated
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    k_repeats = block_k // _LANES
+    p = jnp.exp(s - jnp.tile(lse, (1, k_repeats)))  # (bq, bk)
+    if masked:
+        kv_len = len_ref[bi]
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+        p = jnp.where(col < kv_len, p, 0.0)
+
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bq, bk)
+    di = jnp.sum(
+        do.astype(jnp.float32) * o.astype(jnp.float32), axis=1
+    )[:, None]  # (bq, 1)
+    # lane-replicate (bq,1)->(bq,128)->tile to (bq,bk): Mosaic-safe widening
+    di_full = jnp.tile(
+        jnp.broadcast_to(di, (di.shape[0], _LANES)), (1, k_repeats)
+    )
+    ds = p * (dp - di_full)  # (bq, bk) fp32
+    dq_scratch[:] += jax.lax.dot_general(
+        ds.astype(q.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+
+    @pl.when(ki == num_k_blocks - 1)
+    def _finalize():
+        dq_ref[0, 0] = dq_scratch[:].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(
+    len_ref, q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+    dk_ref, dv_ref, dk_scratch, dv_scratch,
+    *, scale: float, num_q_blocks: int, block_k: int, masked: bool,
+):
+    bi = pl.program_id(0)
+    ki = pl.program_id(2)
+    qi = pl.program_id(3)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scratch[:] = jnp.zeros_like(dk_scratch)
+        dv_scratch[:] = jnp.zeros_like(dv_scratch)
+
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]
+    o = o_ref[0, 0]
+    lse = lse_ref[0, 0]
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (bq, bk)
+    k_repeats = block_k // _LANES
+    p = jnp.exp(s - jnp.tile(lse, (1, k_repeats)))
+    if masked:
+        kv_len = len_ref[bi]
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ki * block_k
+        p = jnp.where(col < kv_len, p, 0.0)
+
+    p_cast = p.astype(do.dtype)
+    # dv += P^T dO  (bk, d)
+    dv_scratch[:] += jax.lax.dot_general(
+        p_cast, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    di = jnp.sum(
+        do.astype(jnp.float32) * o.astype(jnp.float32), axis=1
+    )[:, None]
+    di_full = jnp.tile(
+        jnp.broadcast_to(di, (di.shape[0], _LANES)), (1, k_repeats)
+    )
+    ds = (p * (dp - di_full)).astype(q.dtype)  # (bq, bk)
+    # dk += dS^T Q * scale  (bk, d)
+    dk_scratch[:] += jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+
+    @pl.when(qi == num_q_blocks - 1)
+    def _finalize():
+        dk_ref[0, 0] = dk_scratch[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scratch[:].astype(dv_ref.dtype)
+
+
+def _flash_backward(q, k, v, kv_lens, scale, block_q, block_k, interpret,
+                    o_padded, lse, g):
+    b, h = q.shape[:2]
+    q_p, k_p, v_p, (lq, lk, d, lq_p, lk_p, d_p) = _pad_qkv(
+        q, k, v, block_q, block_k
+    )
+    do = g
+    if do.shape[2] != lq_p or do.shape[3] != d_p:
+        do = jnp.pad(
+            do, ((0, 0), (0, 0), (0, lq_p - do.shape[2]),
+                 (0, d_p - do.shape[3]))
+        )
+    masked = kv_lens is not None or lk_p != lk
+    lens = (jnp.full((b,), lk, jnp.int32) if kv_lens is None
+            else kv_lens.astype(jnp.int32))
+    nq, nk = lq_p // block_q, lk_p // block_k
+
+    q_map = lambda bi, hi, qi, ki, s_: (bi, hi, qi, 0)
+    k_map = lambda bi, hi, qi, ki, s_: (bi, hi, ki, 0)
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _dq_kernel, scale=scale, num_k_blocks=nk, block_k=block_k,
+            masked=masked,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, h, nq, nk),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, d_p), q_map),
+                pl.BlockSpec((1, 1, block_k, d_p), k_map),
+                pl.BlockSpec((1, 1, block_k, d_p), k_map),
+                pl.BlockSpec((1, 1, block_q, d_p), q_map),
+                pl.BlockSpec((1, 1, block_q, d_p), q_map),
+                pl.BlockSpec((1, 1, block_q, _LANES), q_map),
+            ],
+            out_specs=pl.BlockSpec((1, 1, block_q, d_p), q_map),
+            scratch_shapes=[pltpu.VMEM((block_q, d_p), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, lq_p, d_p), q.dtype),
+        interpret=interpret,
+    )(lens, q_p, k_p, v_p, do, o_padded, lse)
+
+    kq_map = lambda bi, hi, ki, qi, s_: (bi, hi, qi, 0)
+    kk_map = lambda bi, hi, ki, qi, s_: (bi, hi, ki, 0)
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _dkv_kernel, scale=scale, num_q_blocks=nq, block_k=block_k,
+            masked=masked,
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, h, nk, nq),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, d_p), kq_map),
+                pl.BlockSpec((1, 1, block_k, d_p), kk_map),
+                pl.BlockSpec((1, 1, block_k, d_p), kk_map),
+                pl.BlockSpec((1, 1, block_q, d_p), kq_map),
+                pl.BlockSpec((1, 1, block_q, d_p), kq_map),
+                pl.BlockSpec((1, 1, block_q, _LANES), kq_map),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, block_k, d_p), kk_map),
+                pl.BlockSpec((1, 1, block_k, d_p), kk_map),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_k, d_p), jnp.float32),
+                pltpu.VMEM((block_k, d_p), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, lk_p, d_p), k.dtype),
+            jax.ShapeDtypeStruct((b, h, lk_p, d_p), v.dtype),
+        ],
+        interpret=interpret,
+    )(lens, q_p, k_p, v_p, do, o_padded, lse)
+
+    dq = dq[:, :, :lq, :d]
+    dk = dk[:, :, :lk, :d]
+    dv = dv[:, :, :lk, :d]
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp plumbing
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash_attention(q, k, v, kv_lens, scale, block_q, block_k, interpret):
+    out, _ = _flash_forward(
+        q, k, v, kv_lens, scale, block_q, block_k, interpret, save_lse=False
+    )
     return out
 
 
 def _flash_fwd_vjp(q, k, v, kv_lens, scale, block_q, block_k, interpret):
-    out = _flash_forward(q, k, v, kv_lens, scale, block_q, block_k, interpret)
-    return out, (q, k, v, kv_lens)
+    out, (o_padded, lse) = _flash_forward(
+        q, k, v, kv_lens, scale, block_q, block_k, interpret, save_lse=True
+    )
+    return out, (q, k, v, kv_lens, o_padded, lse)
 
 
 def _flash_bwd_vjp(scale, block_q, block_k, interpret, residuals, g):
-    q, k, v, kv_lens = residuals
-    if kv_lens is None:
-        kv_mask = None
-    else:
-        lk = k.shape[2]
-        kv_mask = jnp.arange(lk)[None, :] < kv_lens[:, None]
-    # Recompute-and-differentiate through the XLA path: identical math
-    # (fp32 softmax accumulation), so gradients match the kernel's forward.
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: attention_xla(
-            q_, k_, v_, kv_mask=kv_mask, scale=scale
-        ),
-        q, k, v,
+    q, k, v, kv_lens, o_padded, lse = residuals
+    lq_p, d_p = o_padded.shape[2], o_padded.shape[3]
+    if g.shape[2] != lq_p or g.shape[3] != d_p:
+        g = jnp.pad(
+            g, ((0, 0), (0, 0), (0, lq_p - g.shape[2]),
+                (0, d_p - g.shape[3]))
+        )
+    dq, dk, dv = _flash_backward(
+        q, k, v, kv_lens, scale, block_q, block_k, interpret, o_padded,
+        lse, g,
     )
-    dq, dk, dv = vjp(g)
     return dq, dk, dv, None
 
 
@@ -233,6 +451,7 @@ def flash_attention(
     (B,) int32 directly, or `kv_mask` (B,Lk) bool which is reduced to
     lengths (prefix semantics assumed — right-padded tokenizer masks).
     Unaligned shapes are padded and tail-masked by the wrapper.
+    Differentiable: the backward runs fused Pallas kernels with O(L) memory.
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5

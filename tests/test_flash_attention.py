@@ -96,6 +96,46 @@ class TestFlashForward:
 
 
 class TestFlashBackward:
+    def test_grads_self_attn_unaligned(self):
+        # dense self-attention, unaligned length (multiple q and k blocks)
+        b, h, l, d = 2, 2, 600, 64
+        q, k, v = _qkv(b, h, l, l, d, seed=8)
+
+        def loss_pallas(q, k, v):
+            return jnp.sum(fa(q, k, v, block_q=256, block_k=256) ** 2)
+
+        def loss_xla(q, k, v):
+            return jnp.sum(attention_xla(q, k, v) ** 2)
+
+        g1 = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=1e-3, rtol=1e-3
+            )
+
+    def test_grads_bf16(self):
+        b, h, l, d = 1, 2, 256, 128
+        q, k, v = _qkv(b, h, l, l, d, dtype=jnp.bfloat16, seed=9)
+
+        def loss_pallas(q, k, v):
+            return jnp.sum(fa(q, k, v).astype(jnp.float32) ** 2)
+
+        def loss_xla(q, k, v):
+            qf, kf, vf = (x.astype(jnp.float32) for x in (q, k, v))
+            return jnp.sum(attention_xla(qf, kf, vf) ** 2)
+
+        g1 = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(
+            q.astype(jnp.float32), k.astype(jnp.float32),
+            v.astype(jnp.float32),
+        )
+        for a, b_ in zip(g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b_),
+                atol=0.15, rtol=0.1,
+            )
+
     def test_grads_match_xla(self):
         b, h, lq, lk, d = 1, 2, 130, 70, 128
         q, k, v = _qkv(b, h, lq, lk, d, seed=5)
