@@ -123,6 +123,11 @@ class FLitePipeline:
     def enable_vae_tiling(self):
         self._decode_mode = "tiled"
 
+    def set_progress_bar_config(self, **kwargs):
+        """API-compat stub (`pipeline.py:95-97`): the scan-based sampler
+        runs all steps in one dispatch, so there is no per-step bar."""
+        self._progress_bar_config = kwargs
+
     # ---- loading --------------------------------------------------------
     @classmethod
     def from_pretrained(

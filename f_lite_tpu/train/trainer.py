@@ -102,6 +102,9 @@ def parse_args(argv=None):
     p.add_argument("--gradient_checkpointing", action="store_true")
     p.add_argument("--max_grad_norm", type=float, default=1.0)
     p.add_argument("--debug", action="store_true")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="jax nan-checking (the detect_anomaly analog, "
+                        "`distributed.py:74,80`)")
     # Logging / eval
     p.add_argument("--logging_dir", type=str, default="logs")
     p.add_argument("--report_to", type=str, default="tensorboard",
@@ -370,6 +373,8 @@ def train(args) -> dict:
         # multi-host rendezvous comes from the TPU-pod metadata — the
         # torchrun/c10d equivalent (`slurm_pretrain.sbatch:82-87`) is free
         jax.distributed.initialize()
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     if args.use_precomputed_data and not args.precomputed_data_dir:
         raise SystemExit(
             "--use_precomputed_data requires --precomputed_data_dir"
