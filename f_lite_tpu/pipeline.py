@@ -128,6 +128,39 @@ class FLitePipeline:
         runs all steps in one dispatch, so there is no per-step bar."""
         self._progress_bar_config = kwargs
 
+    def warmup(
+        self,
+        *,
+        resolutions=((1024, 1024),),
+        batch_sizes=(1,),
+        text_lens=(128,),
+        num_inference_steps=30,
+        guidance_scale=6.0,
+        apg_config=None,
+    ):
+        """Pre-compile the denoise+decode path for the given static-shape
+        keys (resolution x batch x text-length buckets define the jit cache,
+        SURVEY.md §7.3.5). Call once before serving to avoid first-request
+        compile latency."""
+        import numpy as np
+
+        for h, w in resolutions:
+            for b in batch_sizes:
+                for s in text_lens:
+                    emb = np.zeros(
+                        (b, s, self.dit_model.config.cross_attn_input_size),
+                        np.float32,
+                    )
+                    self(
+                        prompt_embeds=emb,
+                        height=h, width=w,
+                        num_inference_steps=num_inference_steps,
+                        guidance_scale=guidance_scale,
+                        apg_config=apg_config,
+                        seed=0,
+                        output_type="np",
+                    )
+
     # ---- loading --------------------------------------------------------
     @classmethod
     def from_pretrained(
