@@ -143,7 +143,52 @@ def convert_dit_state_dict(
     if "final_norm.weight" in sd:
         p["final_norm"] = {"weight": sd["final_norm.weight"]}
     p["final_proj"] = _dense(sd, "final_proj")
+    if config.scan_layers:
+        p = to_scan_layout(p, config)
     return {"params": p}
+
+
+def _stack_trees(trees):
+    import jax
+
+    return jax.tree.map(lambda *xs: np.stack(xs, axis=0), *trees)
+
+
+def to_scan_layout(p: dict, config: DiTConfig) -> dict:
+    """Re-stack unrolled per-block params into the `scan_layers` layout
+    (models/dit.py ScanUnit): `blocks_front`/`blocks_rest` for the v1
+    pattern, `blocks_all` for cross_attn_all — leaves gain a leading
+    `layers` axis."""
+    per_block = config.adaln_mode == "per_block"
+
+    def unit(indices):
+        u: dict = {}
+        for j, i in enumerate(indices):
+            u[f"blk_{j}"] = p.pop(f"blocks_{i}")
+            if per_block:
+                u[f"blk_{j}_adaLN"] = p.pop(f"blocks_{i}_adaLN")
+        return u
+
+    if config.cross_attn_all:
+        p["blocks_all"] = _stack_trees(
+            [unit([i]) for i in range(config.depth)]
+        )
+        return p
+    first_n = min(config.cross_attn_first_n, config.depth)
+    rest = config.depth - first_n
+    if rest % config.cross_attn_period != 0:
+        raise ValueError(
+            "scan layout requires (depth - first_n) % period == 0"
+        )
+    p["blocks_front"] = _stack_trees([unit([i]) for i in range(first_n)])
+    n_units = rest // config.cross_attn_period
+    if n_units:
+        p["blocks_rest"] = _stack_trees([
+            unit([first_n + u * config.cross_attn_period + j
+                  for j in range(config.cross_attn_period)])
+            for u in range(n_units)
+        ])
+    return p
 
 
 def _conv(sd, torch_name):

@@ -101,6 +101,7 @@ class DiTConfig:
     cross_attn_all: bool = False  # v2: every block (`model_v2.py:468`)
     n_register_tokens: int = 16
     pos_embed_max_len: int = 2048  # only when use_rope=False
+    scan_layers: bool = False  # lax.scan over layer stacks (see __call__)
     gradient_checkpoint: bool = False
     gradient_checkpoint_from: int = 8  # remat blocks >= this (`model.py:559`)
     dtype: Any = jnp.float32
@@ -317,6 +318,55 @@ class DiTBlock(nn.Module):
         return x, v_first
 
 
+class ScanUnit(nn.Module):
+    """One scan step over the layer stack: a tuple of DiTBlocks (a single
+    cross block, or a (cross, plain, ..., plain) macro group).
+
+    `scan_layers` trades the unrolled 40-block HLO for a `lax.scan` with
+    stacked parameters — ~depth/unit-size smaller programs, much faster
+    XLA compiles, identical math (verified against the unrolled layout).
+    v1's heterogeneous pattern decomposes into two scans: first_n single
+    cross blocks, then (depth-first_n)/period groups of period blocks.
+    Not supported with residual_v (the released-checkpoint inference path
+    stays unrolled; the reference's own trainer cannot build residual_v
+    models either — `train.py:673-703` passes no such flag).
+    """
+
+    config: DiTConfig
+    cross_pattern: tuple  # per-inner-block do_cross flags
+    own_adaln: bool = False  # per_block mode: AdaLN head inside the unit
+
+    @nn.compact
+    def __call__(self, tokens, context, context_mask, mod_or_temb, rope):
+        cfg = self.config
+        for j, dc in enumerate(self.cross_pattern):
+            if self.own_adaln:
+                modulation = AdaLNHead(cfg, 9, name=f"blk_{j}_adaLN")(
+                    mod_or_temb
+                )
+            else:
+                modulation = mod_or_temb
+            tokens, _ = DiTBlock(
+                cfg, do_cross_attn=dc, name=f"blk_{j}"
+            )(tokens, context, context_mask, modulation, rope, None)
+        return tokens, None
+
+
+def _make_scan(unit_cls, cfg, pattern, n_units, own_adaln, remat, name):
+    if remat:
+        unit_cls = nn.remat(unit_cls, prevent_cse=False)
+    scanned = nn.scan(
+        unit_cls,
+        variable_axes={"params": 0},
+        split_rngs={"params": True},
+        in_axes=(nn.broadcast,) * 4,
+        length=n_units,
+        metadata_params={nn.meta.PARTITION_NAME: "layers"},
+    )
+    return scanned(cfg, cross_pattern=pattern, own_adaln=own_adaln,
+                   name=name)
+
+
 class TimestepEmbed(nn.Module):
     """sinusoidal(t*1000, D) -> Linear(D, 4D) -> SiLU -> Linear(4D, D).
 
@@ -439,27 +489,66 @@ class DiT(nn.Module):
         else:
             modulation = None  # per-block heads below
 
-        v_first = None
-        for idx in range(cfg.depth):
-            do_cross = cfg.block_has_cross_attn(idx)
-            if cfg.adaln_mode == "per_block":
-                block_mod = AdaLNHead(
-                    cfg, 9, name=f"blocks_{idx}_adaLN"
-                )(t_emb)
+        if cfg.scan_layers:
+            if cfg.residual_v:
+                raise ValueError(
+                    "scan_layers is not supported with residual_v "
+                    "(use the unrolled layout for released checkpoints)"
+                )
+            own_adaln = cfg.adaln_mode == "per_block"
+            mod_or_temb = t_emb if own_adaln else modulation
+            if cfg.cross_attn_all:
+                tokens, _ = _make_scan(
+                    ScanUnit, cfg, (True,), cfg.depth, own_adaln,
+                    cfg.gradient_checkpoint, "blocks_all",
+                )(tokens, context, context_mask, mod_or_temb, rope)
             else:
-                block_mod = modulation
+                first_n = min(cfg.cross_attn_first_n, cfg.depth)
+                rest = cfg.depth - first_n
+                if rest % cfg.cross_attn_period != 0:
+                    raise ValueError(
+                        "scan_layers requires (depth - first_n) divisible "
+                        "by cross_attn_period"
+                    )
+                tokens, _ = _make_scan(
+                    ScanUnit, cfg, (True,), first_n, own_adaln,
+                    False, "blocks_front",  # ref remats only idx >= 8
+                )(tokens, context, context_mask, mod_or_temb, rope)
+                n_units = rest // cfg.cross_attn_period
+                if n_units:
+                    # the per-unit cross pattern is the same for every unit
+                    # (i % period is invariant under i -> i + period)
+                    pattern = tuple(
+                        cfg.block_has_cross_attn(first_n + j)
+                        for j in range(cfg.cross_attn_period)
+                    )
+                    tokens, _ = _make_scan(
+                        ScanUnit, cfg, pattern, n_units, own_adaln,
+                        cfg.gradient_checkpoint, "blocks_rest",
+                    )(tokens, context, context_mask, mod_or_temb, rope)
+        else:
+            v_first = None
+            for idx in range(cfg.depth):
+                do_cross = cfg.block_has_cross_attn(idx)
+                if cfg.adaln_mode == "per_block":
+                    block_mod = AdaLNHead(
+                        cfg, 9, name=f"blocks_{idx}_adaLN"
+                    )(t_emb)
+                else:
+                    block_mod = modulation
 
-            # Remat blocks >= gradient_checkpoint_from, like the reference's
-            # `torch.utils.checkpoint` on blocks >= 8 (`model.py:559-567`).
-            block_cls = DiTBlock
-            if (
-                cfg.gradient_checkpoint
-                and idx >= cfg.gradient_checkpoint_from
-            ):
-                block_cls = nn.remat(DiTBlock, prevent_cse=False)
-            tokens, v_first = block_cls(
-                cfg, do_cross_attn=do_cross, name=f"blocks_{idx}"
-            )(tokens, context, context_mask, block_mod, rope, v_first)
+                # Remat blocks >= gradient_checkpoint_from, like the
+                # reference's checkpointing on blocks >= 8
+                # (`model.py:559-567`).
+                block_cls = DiTBlock
+                if (
+                    cfg.gradient_checkpoint
+                    and idx >= cfg.gradient_checkpoint_from
+                ):
+                    block_cls = nn.remat(DiTBlock, prevent_cse=False)
+                tokens, v_first = block_cls(
+                    cfg, do_cross_attn=do_cross, name=f"blocks_{idx}"
+                )(tokens, context, context_mask, block_mod, rope, v_first)
 
         # Drop registers; final modulation + zero-init proj (`model.py:575-581`).
         tokens = tokens[:, cfg.n_register_tokens :, :]

@@ -29,6 +29,7 @@ from jax.sharding import Mesh
 
 # logical axis -> mesh axis (flax.linen.logical_to_mesh_sharding rules)
 LOGICAL_RULES = (
+    ("layers", None),      # scan_layers stacking axis: replicated
     ("embed", "fsdp"),     # dim-0 of most kernels: ZeRO-style shard
     ("qkv_out", "tp"),     # fused qkv / context_kv / q output dim
     ("mlp", "tp"),         # gate/up output, down input

@@ -48,6 +48,9 @@ def parse_args(argv=None):
     p.add_argument("--cross_attn_input_size", type=int, default=4096)
     p.add_argument("--residual_v", action="store_true")
     p.add_argument("--train_bias_and_rms", action="store_true")
+    p.add_argument("--scan_layers", action="store_true",
+                   help="lax.scan over layer stacks (faster compiles, "
+                        "stacked params; incompatible with residual_v/LoRA)")
     # Data
     p.add_argument("--train_data_path", type=str, default=None)
     p.add_argument("--val_data_path", type=str, default=None)
@@ -115,6 +118,9 @@ def parse_args(argv=None):
     p.add_argument("--eval_every", type=int, default=500)
     p.add_argument("--sample_prompts_file", type=str, default=None)
     p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--export_pipeline", action="store_true",
+                   help="write a FLitePipeline-layout export (dit config + "
+                        "safetensors) at the end of training")
     p.add_argument("--profile_steps", type=str, default=None,
                    help="'start,stop' step range to capture a jax.profiler trace")
     return p.parse_args(argv)
@@ -137,6 +143,7 @@ def build_dit(args, dtype):
         rope_base=args.rope_base,
         residual_v=args.residual_v,
         train_bias_and_rms=args.train_bias_and_rms,
+        scan_layers=args.scan_layers,
         gradient_checkpoint=args.gradient_checkpointing,
         dtype=dtype,
         param_dtype=jnp.float32,  # master weights fp32; compute in `dtype`
@@ -689,6 +696,19 @@ def train(args) -> dict:
         lora_final = state.params if train_lora_only else lora_params
         save_lora_weights(lora_final, final_dir)
         logger.info("saved LoRA weights to %s", final_dir)
+
+    if args.export_pipeline:
+        from f_lite_tpu.pipeline import FLitePipeline
+
+        eff = (
+            apply_lora(params, state.params, alpha=args.lora_alpha,
+                       rank=args.lora_rank)
+            if train_lora_only else state.params
+        )
+        export_pipe = FLitePipeline(model, eff, vae, vae_params, None)
+        export_dir = Path(args.output_dir) / "pipeline"
+        export_pipe.save_pretrained(export_dir)
+        logger.info("exported pipeline to %s", export_dir)
 
     result["global_step"] = global_step
     result["wall_s"] = time.time() - t_start

@@ -120,6 +120,25 @@ class TestTrainLoop:
         result = train(args)
         assert result["global_step"] == 3
 
+    def test_export_pipeline(self, tmp_path):
+        root = _write_parquet_dataset(tmp_path)
+        out = tmp_path / "out"
+        args = parse_args(_base_argv(root, out) + [
+            "--max_steps", "1", "--checkpointing_steps", "100",
+            "--export_pipeline",
+        ])
+        train(args)
+        from f_lite_tpu.pipeline import FLitePipeline
+        from f_lite_tpu.text.encoder import ZeroTextEncoder
+
+        pipe = FLitePipeline.from_pretrained(
+            out / "pipeline", load_text_encoder=False
+        )
+        pipe.text_encoder = ZeroTextEncoder(embed_dim=32, seq_len=8)
+        o = pipe(prompt="t", height=16, width=16, num_inference_steps=1,
+                 seed=0)
+        assert len(o.images) == 1
+
     def test_grad_accumulation(self, tmp_path):
         root = _write_parquet_dataset(tmp_path)
         out = tmp_path / "out"
