@@ -164,7 +164,12 @@ def to_scan_layout(p: dict, config: DiTConfig) -> dict:
     def unit(indices):
         u: dict = {}
         for j, i in enumerate(indices):
-            u[f"blk_{j}"] = p.pop(f"blocks_{i}")
+            blk = p.pop(f"blocks_{i}")
+            if config.residual_v and "lambda_v" not in blk["self_attn"]:
+                # block 0 has no lambda in the unrolled layout; under scan
+                # every block owns one (block 0's is inert — `mix` gates it)
+                blk["self_attn"]["lambda_v"] = np.ones(1, np.float32)
+            u[f"blk_{j}"] = blk
             if per_block:
                 u[f"blk_{j}_adaLN"] = p.pop(f"blocks_{i}_adaLN")
         return u

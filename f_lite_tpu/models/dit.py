@@ -146,7 +146,7 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, context=None, context_mask=None, rope=None,
-                 v_first=None):
+                 v_first=None, mix=None):
         cfg = self.config
         h, d = cfg.num_heads, cfg.head_dim
         qkv_bias = cfg.train_bias_and_rms
@@ -189,10 +189,25 @@ class Attention(nn.Module):
 
         # Value residual (released models): mix this block's V with block 0's
         # V through a learnable per-block gate (arXiv:2410.17897; the in-repo
-        # reference never defines it — see module docstring).
+        # reference never defines it — see module docstring). `mix` is the
+        # scan-mode selector (traced "am I past block 0" flag): under
+        # lax.scan every block owns a lambda_v (block 0's is inert) and the
+        # first-block case is selected at runtime instead of by structure.
         if cfg.residual_v and self.is_self_attn:
-            if v_first is None:
-                v_first_out = v
+            if mix is None:
+                if v_first is None:
+                    v_first_out = v
+                else:
+                    lamb = self.param(
+                        "lambda_v",
+                        nn.with_logical_partitioning(
+                            nn.initializers.constant(0.5), (None,)
+                        ),
+                        (1,), cfg.param_dtype,
+                    )
+                    lamb = lamb.astype(v.dtype)
+                    v = lamb * v + (1.0 - lamb) * v_first
+                    v_first_out = v_first
             else:
                 lamb = self.param(
                     "lambda_v",
@@ -200,10 +215,10 @@ class Attention(nn.Module):
                         nn.initializers.constant(0.5), (None,)
                     ),
                     (1,), cfg.param_dtype,
-                )
-                lamb = lamb.astype(v.dtype)
-                v = lamb * v + (1.0 - lamb) * v_first
-                v_first_out = v_first
+                ).astype(v.dtype)
+                mixed = lamb * v + (1.0 - lamb) * v_first
+                v_first_out = jnp.where(mix, v_first, v)
+                v = jnp.where(mix, mixed, v)
         else:
             v_first_out = v_first
 
@@ -281,7 +296,7 @@ class DiTBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, context, context_mask, modulation, rope,
-                 v_first=None):
+                 v_first=None, mix=None):
         cfg = self.config
 
         def mod(i):
@@ -293,7 +308,7 @@ class DiTBlock(nn.Module):
         norm_x = RMSNormModule(cfg.hidden_size, cfg.param_dtype, name="norm1")(x)
         norm_x = norm_x * (1 + scale_sa) + shift_sa
         sa = Attention(cfg, is_self_attn=True, name="self_attn")(
-            norm_x, rope=rope, v_first=v_first
+            norm_x, rope=rope, v_first=v_first, mix=mix
         )
         if cfg.residual_v:
             attn_out, v_first = sa
@@ -335,10 +350,13 @@ class ScanUnit(nn.Module):
     config: DiTConfig
     cross_pattern: tuple  # per-inner-block do_cross flags
     own_adaln: bool = False  # per_block mode: AdaLN head inside the unit
+    idx_offset: int = 0  # global index of this scan's first block
 
     @nn.compact
-    def __call__(self, tokens, context, context_mask, mod_or_temb, rope):
+    def __call__(self, carry, unit_idx, context, context_mask, mod_or_temb,
+                 rope):
         cfg = self.config
+        tokens, v_first = carry
         for j, dc in enumerate(self.cross_pattern):
             if self.own_adaln:
                 modulation = AdaLNHead(cfg, 9, name=f"blk_{j}_adaLN")(
@@ -346,25 +364,33 @@ class ScanUnit(nn.Module):
                 )
             else:
                 modulation = mod_or_temb
-            tokens, _ = DiTBlock(
+            if cfg.residual_v:
+                global_idx = (
+                    self.idx_offset + unit_idx * len(self.cross_pattern) + j
+                )
+                mix = global_idx > 0  # traced: mix V with block-0 V
+            else:
+                mix = None
+            tokens, v_first = DiTBlock(
                 cfg, do_cross_attn=dc, name=f"blk_{j}"
-            )(tokens, context, context_mask, modulation, rope, None)
-        return tokens, None
+            )(tokens, context, context_mask, modulation, rope, v_first, mix)
+        return (tokens, v_first), None
 
 
-def _make_scan(unit_cls, cfg, pattern, n_units, own_adaln, remat, name):
+def _make_scan(unit_cls, cfg, pattern, n_units, own_adaln, remat, name,
+               idx_offset=0):
     if remat:
         unit_cls = nn.remat(unit_cls, prevent_cse=False)
     scanned = nn.scan(
         unit_cls,
         variable_axes={"params": 0},
         split_rngs={"params": True},
-        in_axes=(nn.broadcast,) * 4,
+        in_axes=(0, nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
         length=n_units,
         metadata_params={nn.meta.PARTITION_NAME: "layers"},
     )
     return scanned(cfg, cross_pattern=pattern, own_adaln=own_adaln,
-                   name=name)
+                   idx_offset=idx_offset, name=name)
 
 
 class TimestepEmbed(nn.Module):
@@ -490,18 +516,24 @@ class DiT(nn.Module):
             modulation = None  # per-block heads below
 
         if cfg.scan_layers:
-            if cfg.residual_v:
-                raise ValueError(
-                    "scan_layers is not supported with residual_v "
-                    "(use the unrolled layout for released checkpoints)"
-                )
             own_adaln = cfg.adaln_mode == "per_block"
             mod_or_temb = t_emb if own_adaln else modulation
+            if cfg.residual_v:
+                # v_first carried through the scan; block 0 selected by the
+                # traced `mix` flag (see Attention)
+                v_first = jnp.zeros(
+                    (b, cfg.num_heads, tokens.shape[1], cfg.head_dim),
+                    cfg.dtype,
+                )
+            else:
+                v_first = None
+            carry = (tokens, v_first)
             if cfg.cross_attn_all:
-                tokens, _ = _make_scan(
+                carry, _ = _make_scan(
                     ScanUnit, cfg, (True,), cfg.depth, own_adaln,
                     cfg.gradient_checkpoint, "blocks_all",
-                )(tokens, context, context_mask, mod_or_temb, rope)
+                )(carry, jnp.arange(cfg.depth), context, context_mask,
+                  mod_or_temb, rope)
             else:
                 first_n = min(cfg.cross_attn_first_n, cfg.depth)
                 rest = cfg.depth - first_n
@@ -510,10 +542,11 @@ class DiT(nn.Module):
                         "scan_layers requires (depth - first_n) divisible "
                         "by cross_attn_period"
                     )
-                tokens, _ = _make_scan(
+                carry, _ = _make_scan(
                     ScanUnit, cfg, (True,), first_n, own_adaln,
                     False, "blocks_front",  # ref remats only idx >= 8
-                )(tokens, context, context_mask, mod_or_temb, rope)
+                )(carry, jnp.arange(first_n), context, context_mask,
+                  mod_or_temb, rope)
                 n_units = rest // cfg.cross_attn_period
                 if n_units:
                     # the per-unit cross pattern is the same for every unit
@@ -522,10 +555,13 @@ class DiT(nn.Module):
                         cfg.block_has_cross_attn(first_n + j)
                         for j in range(cfg.cross_attn_period)
                     )
-                    tokens, _ = _make_scan(
+                    carry, _ = _make_scan(
                         ScanUnit, cfg, pattern, n_units, own_adaln,
                         cfg.gradient_checkpoint, "blocks_rest",
-                    )(tokens, context, context_mask, mod_or_temb, rope)
+                        idx_offset=first_n,
+                    )(carry, jnp.arange(n_units), context, context_mask,
+                      mod_or_temb, rope)
+            tokens = carry[0]
         else:
             v_first = None
             for idx in range(cfg.depth):

@@ -84,11 +84,22 @@ class TestScanParity:
         assert qkv_rest.shape[0] == 2  # (10-2)/4 units
         assert "cross_attn" not in p["blocks_rest"]["blk_1"]
 
-    def test_residual_v_rejected(self):
-        cfg = DiTConfig(**BASE, scan_layers=True, residual_v=True)
-        model = DiT(cfg)
-        with pytest.raises(ValueError, match="residual_v"):
-            model.init_params(jax.random.key(0), text_len=8, image_size=16)
+    def test_residual_v_scan_matches_unrolled(self):
+        # released-model architecture: v_first carried through the scan
+        cfg_u = DiTConfig(**BASE, residual_v=True)
+        cfg_s = _variant(cfg_u, scan_layers=True)
+        sd = make_random_state_dict(cfg_u, seed=7)
+        np_sd = {k: v.numpy() for k, v in sd.items()}
+        p_u = convert_dit_state_dict(np_sd, cfg_u)
+        p_s = convert_dit_state_dict(np_sd, cfg_s)
+        x, ctx, mask, t = _inputs(cfg_u, seed=8)
+        out_u = DiT(cfg_u).apply(jax.tree.map(jnp.asarray, p_u),
+                                 x, ctx, mask, t)
+        out_s = DiT(cfg_s).apply(jax.tree.map(jnp.asarray, p_s),
+                                 x, ctx, mask, t)
+        np.testing.assert_allclose(
+            np.asarray(out_s), np.asarray(out_u), atol=1e-5, rtol=1e-5
+        )
 
     def test_grads_match_unrolled(self):
         cfg_u = DiTConfig(**BASE)
