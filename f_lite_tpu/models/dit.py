@@ -455,7 +455,13 @@ class DiT(nn.Module):
     config: DiTConfig
 
     @nn.compact
-    def __call__(self, x, context, context_mask, t):
+    def __call__(self, x, context, context_mask, t, token_indices=None):
+        """token_indices (B, K) int32: *sequence dropout* — run the
+        transformer on only these patch positions (tech report p.5: 50%
+        dropout for hi-res training speedups; described but never
+        implemented in the reference code). When given, the output is
+        token-space (B, K, p*p*C) instead of an unpatchified image —
+        pair with the same gather on the loss target."""
         cfg = self.config
         b, height, width, c = x.shape
         gh, gw = height // cfg.patch_size, width // cfg.patch_size
@@ -472,6 +478,10 @@ class DiT(nn.Module):
 
         # Patch embed as patchify + matmul (`model.py:318-331,533`).
         tokens = patchify(x.astype(cfg.dtype), cfg.patch_size)
+        if token_indices is not None:
+            tokens = jnp.take_along_axis(
+                tokens, token_indices[..., None], axis=1
+            )
         tokens = _dense(
             cfg.hidden_size, use_bias=True, name="patch_proj",
             kernel_axes=(CTX, EMBED), dtype=cfg.dtype,
@@ -497,6 +507,18 @@ class DiT(nn.Module):
                 cfg.head_dim, gh, gw, base=cfg.rope_base,
                 n_register_tokens=cfg.n_register_tokens,
             )
+            if token_indices is not None:
+                # gather per-batch rope rows for the kept patches; register
+                # rows (identity rotation) stay prepended
+                nreg = cfg.n_register_tokens
+                cos, sin = rope
+                def _gather(tab):
+                    img = jnp.take(tab[nreg:], token_indices, axis=0)
+                    reg = jnp.broadcast_to(
+                        tab[None, :nreg], (b, nreg, tab.shape[-1])
+                    )
+                    return jnp.concatenate([reg, img], axis=1)
+                rope = (_gather(cos), _gather(sin))
         else:
             pos = self.param(
                 "positional_embedding",
@@ -505,7 +527,22 @@ class DiT(nn.Module):
                 ),
                 (1, cfg.pos_embed_max_len, cfg.hidden_size), cfg.param_dtype,
             )
-            tokens = tokens + pos[:, : tokens.shape[1], :].astype(cfg.dtype)
+            if token_indices is not None:
+                nreg = cfg.n_register_tokens
+                pos_img = jnp.take(
+                    pos[0, nreg : nreg + gh * gw], token_indices, axis=0
+                )
+                pos_full = jnp.concatenate(
+                    [jnp.broadcast_to(pos[:, :nreg], (b, nreg,
+                                                      cfg.hidden_size)),
+                     pos_img],
+                    axis=1,
+                )
+                tokens = tokens + pos_full.astype(cfg.dtype)
+            else:
+                tokens = tokens + pos[:, : tokens.shape[1], :].astype(
+                    cfg.dtype
+                )
             rope = None
 
         # Timestep embedding + shared modulation (`model.py:551-556`).
@@ -605,6 +642,8 @@ class DiT(nn.Module):
             dtype=cfg.dtype, param_dtype=cfg.param_dtype,
         )(tokens)
 
+        if token_indices is not None:
+            return tokens  # token-space (B, K, p*p*C) under sequence dropout
         return unpatchify(tokens, gh, gw, cfg.patch_size, cfg.in_channels)
 
     def init_params(self, rng, *, text_len: int = 32, image_size: int = 64):

@@ -60,9 +60,13 @@ def rope_2d_freqs(
 
 
 def apply_rotary(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
-    """Rotate-half RoPE in fp32. x: (..., T, D); cos/sin: (T, D // 2)."""
+    """Rotate-half RoPE in fp32. x: (B, H, T, D); cos/sin: (T, D // 2) or
+    per-batch (B, T, D // 2) (sequence-dropout gathers)."""
     orig_dtype = x.dtype
     x32 = x.astype(jnp.float32)
+    if cos.ndim == 3:  # (B, T, d/2) -> broadcast over heads
+        cos = cos[:, None, :, :]
+        sin = sin[:, None, :, :]
     d = x32.shape[-1] // 2
     x1, x2 = x32[..., :d], x32[..., d:]
     y1 = x1 * cos + x2 * sin

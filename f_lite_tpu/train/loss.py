@@ -44,11 +44,12 @@ def flow_matching_loss(
     *,
     uncond_prob: float = 0.05,
     patch_size: int = 2,
+    token_keep_ratio: float = 1.0,   # sequence dropout (tech report p.5)
     timesteps: jax.Array | None = None,   # injectable for tests/parity
     noise: jax.Array | None = None,
 ) -> tuple[jax.Array, LossAux]:
     b, h, w, c = latents.shape
-    k_drop, k_t, k_noise = jax.random.split(rng, 3)
+    k_drop, k_t, k_noise, k_tok = jax.random.split(rng, 4)
 
     # CFG caption dropout (`train.py:423-425`)
     if uncond_prob > 0:
@@ -69,16 +70,39 @@ def flow_matching_loss(
     z_t = x * (1.0 - t) + noise * t
     v_target = x - noise
 
-    pred = dit_apply(
-        params,
-        z_t.astype(latents.dtype),
-        context,
-        context_mask,
-        timesteps.astype(latents.dtype),
-    )
+    n_patches = (h // patch_size) * (w // patch_size)
+    token_indices = None
+    if token_keep_ratio < 1.0:
+        # sequence dropout: train on a random subset of image tokens
+        # (tech report p.5: "50% sequence dropout" for hi-res speedups;
+        # never implemented in the reference code). Per-sample random
+        # subset, same static count K for jit.
+        keep = max(1, int(n_patches * token_keep_ratio))
+        scores = jax.random.uniform(k_tok, (b, n_patches))
+        token_indices = jnp.argsort(scores, axis=1)[:, :keep]
 
-    targ_tok = patchify(v_target, patch_size)
-    pred_tok = patchify(pred.astype(jnp.float32), patch_size)
+    if token_indices is None:
+        pred = dit_apply(
+            params,
+            z_t.astype(latents.dtype),
+            context,
+            context_mask,
+            timesteps.astype(latents.dtype),
+        )
+        targ_tok = patchify(v_target, patch_size)
+        pred_tok = patchify(pred.astype(jnp.float32), patch_size)
+    else:
+        pred_tok = dit_apply(
+            params,
+            z_t.astype(latents.dtype),
+            context,
+            context_mask,
+            timesteps.astype(latents.dtype),
+            token_indices,
+        ).astype(jnp.float32)
+        targ_tok = jnp.take_along_axis(
+            patchify(v_target, patch_size), token_indices[..., None], axis=1
+        )
     per_sample = jnp.mean((targ_tok - pred_tok) ** 2, axis=(1, 2))  # (B,)
     loss = per_sample.mean()
 

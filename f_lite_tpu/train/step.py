@@ -40,6 +40,7 @@ def build_step_fn(
     *,
     uncond_prob: float = 0.05,
     patch_size: int = 2,
+    token_keep_ratio: float = 1.0,
 ):
     """Raw (unjitted) `step(state, rng, latents, context, mask)`."""
 
@@ -48,6 +49,7 @@ def build_step_fn(
             return flow_matching_loss(
                 dit_apply, params, rng, latents, context, context_mask,
                 uncond_prob=uncond_prob, patch_size=patch_size,
+                token_keep_ratio=token_keep_ratio,
             )
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(

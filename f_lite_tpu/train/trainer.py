@@ -81,6 +81,9 @@ def parse_args(argv=None):
     p.add_argument("--precomputed_data_dir", type=str, default=None)
     p.add_argument("--batch_multiplicity", type=int, default=1)
     p.add_argument("--uncond_prob", type=float, default=0.05)
+    p.add_argument("--sequence_dropout", type=float, default=0.0,
+                   help="drop this fraction of image tokens per step "
+                        "(tech report p.5; 0.5 for hi-res speedup)")
     # Parallelism
     p.add_argument("--dp", type=int, default=1)
     p.add_argument("--fsdp", type=int, default=1,
@@ -505,6 +508,7 @@ def train(args) -> dict:
         return flow_matching_loss(
             model.apply, merged, rng_, latents, ctx, mask,
             uncond_prob=uncond_prob,
+            token_keep_ratio=1.0 - args.sequence_dropout,
         )
 
     def step_fn(state: TrainState, rng_, latents, ctx, mask):
