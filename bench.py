@@ -39,14 +39,23 @@ def main():
     dtype = jnp.bfloat16
 
     # scan_layers: same math/perf as unrolled (verified), 8.8x faster compile
+    quantized = os.environ.get("F_LITE_BENCH_QUANT", "0") == "1"
     cfg = DiTConfig.f_lite_7b(dtype=dtype, param_dtype=dtype,
-                              scan_layers=True)
+                              scan_layers=True, quantized=quantized)
     model = DiT(cfg)
     shapes = jax.eval_shape(
         lambda: model.init_params(jax.random.key(0), text_len=128,
                                   image_size=64)
     )
-    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+    if quantized:
+        # non-zero int8 weights so the MXU path is exercised realistically
+        params = jax.tree.map(
+            lambda s: (jnp.ones(s.shape, s.dtype) if s.dtype == jnp.int8
+                       else jnp.zeros(s.shape, s.dtype)),
+            shapes,
+        )
+    else:
+        params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
     vae_cfg = VAEConfig.flux(dtype=dtype, param_dtype=dtype)
     vae = AutoencoderKL(vae_cfg)

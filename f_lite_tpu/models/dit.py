@@ -51,7 +51,55 @@ HEADS_QKV = "qkv_out"
 CTX = "ctx"
 
 
-def _dense(features, *, use_bias, name, kernel_axes, dtype, param_dtype):
+class QuantDense(nn.Module):
+    """Int8 weight-only Dense (see f_lite_tpu/quant.py): per-column int8
+    weights + fp32 scales, dynamic per-token activation quant, int32 MXU
+    accumulation — ~1.74x over bf16 on v5e. Params come from
+    `quantize_dit_params`; the zero init here is a placeholder."""
+
+    features: int
+    use_bias: bool
+    kernel_axes: tuple
+    dtype: Any
+    param_dtype: Any
+
+    @nn.compact
+    def __call__(self, x):
+        from f_lite_tpu.quant import quant_matmul
+
+        in_features = x.shape[-1]
+        w8 = self.param(
+            "w8",
+            nn.with_logical_partitioning(
+                lambda key, shape, dtype=jnp.int8: jnp.zeros(shape, dtype),
+                self.kernel_axes,
+            ),
+            (in_features, self.features), jnp.int8,
+        )
+        scale = self.param(
+            "scale",
+            nn.with_logical_partitioning(
+                nn.initializers.ones, (self.kernel_axes[-1],)
+            ),
+            (self.features,), jnp.float32,
+        )
+        y = quant_matmul(x, w8, scale)
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,),
+                self.param_dtype,
+            )
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+def _dense(features, *, use_bias, name, kernel_axes, dtype, param_dtype,
+           quant=False):
+    if quant:
+        return QuantDense(
+            features, use_bias=use_bias, name=name,
+            kernel_axes=kernel_axes, dtype=dtype, param_dtype=param_dtype,
+        )
     return nn.Dense(
         features,
         use_bias=use_bias,
@@ -102,6 +150,7 @@ class DiTConfig:
     n_register_tokens: int = 16
     pos_embed_max_len: int = 2048  # only when use_rope=False
     scan_layers: bool = False  # lax.scan over layer stacks (see __call__)
+    quantized: bool = False  # int8 weight-only projections (inference)
     gradient_checkpoint: bool = False
     gradient_checkpoint_from: int = 8  # remat blocks >= this (`model.py:559`)
     dtype: Any = jnp.float32
@@ -156,6 +205,7 @@ class Attention(nn.Module):
                 3 * cfg.hidden_size, use_bias=qkv_bias, name="qkv",
                 kernel_axes=(EMBED, HEADS_QKV),
                 dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+                quant=cfg.quantized,
             )(x)
             b, l = qkv.shape[:2]
             qkv = qkv.reshape(b, l, 3, h, d).transpose(2, 0, 3, 1, 4)
@@ -174,11 +224,13 @@ class Attention(nn.Module):
                 cfg.hidden_size, use_bias=qkv_bias, name="q",
                 kernel_axes=(EMBED, HEADS_QKV),
                 dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+                quant=cfg.quantized,
             )(x)
             kv = _dense(
                 2 * cfg.hidden_size, use_bias=qkv_bias, name="context_kv",
                 kernel_axes=(EMBED, HEADS_QKV),
                 dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+                quant=cfg.quantized,
             )(context)
             b, lq = q.shape[:2]
             lk = kv.shape[1]
@@ -235,6 +287,7 @@ class Attention(nn.Module):
             cfg.hidden_size, use_bias=False, name="proj",
             kernel_axes=(HEADS_QKV, EMBED),
             dtype=cfg.dtype, param_dtype=cfg.param_dtype,
+            quant=cfg.quantized,
         )(out)
         if self.is_self_attn and cfg.residual_v:
             return out, v_first_out
@@ -254,17 +307,17 @@ class SwiGLUMLP(nn.Module):
         gate = _dense(
             inter, use_bias=False, name="gate_proj",
             kernel_axes=(EMBED, MLP), dtype=cfg.dtype,
-            param_dtype=cfg.param_dtype,
+            param_dtype=cfg.param_dtype, quant=cfg.quantized,
         )(x)
         up = _dense(
             inter, use_bias=False, name="up_proj",
             kernel_axes=(EMBED, MLP), dtype=cfg.dtype,
-            param_dtype=cfg.param_dtype,
+            param_dtype=cfg.param_dtype, quant=cfg.quantized,
         )(x)
         return _dense(
             cfg.hidden_size, use_bias=False, name="down_proj",
             kernel_axes=(MLP, EMBED), dtype=cfg.dtype,
-            param_dtype=cfg.param_dtype,
+            param_dtype=cfg.param_dtype, quant=cfg.quantized,
         )(nn.silu(gate) * up)
 
 

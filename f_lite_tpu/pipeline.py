@@ -170,13 +170,17 @@ class FLitePipeline:
         dtype=jnp.bfloat16,
         text_encoder: Any | None = None,
         load_text_encoder: bool = True,
+        quantize: bool = False,
     ) -> "FLitePipeline":
+        """`quantize=True`: int8 weight-only projections (~1.74x matmul
+        speedup on v5e, see f_lite_tpu/quant.py)."""
         path = Path(path)
         index = json.loads((path / "model_index.json").read_text())
 
         dit_cfg_d = json.loads((path / "dit" / "config.json").read_text())
         dit_cfg = DiTConfig(
-            **_config_kwargs(DiTConfig, dit_cfg_d),
+            **{**_config_kwargs(DiTConfig, dit_cfg_d),
+               "quantized": quantize},
             dtype=dtype, param_dtype=dtype,
         )
         dit = DiT(dit_cfg)
@@ -186,6 +190,10 @@ class FLitePipeline:
                 path / "dit" / "flax_params.safetensors"
             )},
         )
+        if quantize:
+            from f_lite_tpu.quant import quantize_dit_params
+
+            dit_params = quantize_dit_params(dit_params)
 
         vae = vae_params = None
         if (path / "vae" / "config.json").exists():
