@@ -39,7 +39,7 @@ def main():
     dtype = jnp.bfloat16
 
     # scan_layers: same math/perf as unrolled (verified), 8.8x faster compile
-    quantized = os.environ.get("F_LITE_BENCH_QUANT", "0") == "1"
+    quantized = os.environ.get("F_LITE_BENCH_QUANT", "1") == "1"
     cfg = DiTConfig.f_lite_7b(dtype=dtype, param_dtype=dtype,
                               scan_layers=True, quantized=quantized)
     model = DiT(cfg)
@@ -101,14 +101,18 @@ def main():
     p50 = sorted(times)[len(times) // 2]
     images_per_min = 60.0 * batch / p50
 
+    mode = "int8-weight-only" if quantized else "bf16"
     print(json.dumps({
-        "metric": f"F-Lite-7B {height}px {steps}-step images/min/chip",
+        "metric": (
+            f"F-Lite-7B {height}px {steps}-step images/min/chip ({mode})"
+        ),
         "value": round(images_per_min, 4),
         "unit": "images/min/chip",
         "vs_baseline": round(
             images_per_min / TARGET_IMAGES_PER_MIN_PER_CHIP, 4
         ),
         "p50_seconds_per_image": round(p50 / batch, 3),
+        "mode": mode,
     }))
 
 

@@ -41,6 +41,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--vae_tiling", action="store_true")
     p.add_argument("--no_text_encoder", action="store_true",
                    help="use the hermetic pseudo text encoder (debug)")
+    p.add_argument("--quantize", action="store_true",
+                   help="int8 weight-only DiT projections (~1.7x matmuls)")
     return p
 
 
@@ -55,7 +57,8 @@ def generate_images(args) -> list[Path]:
         text_encoder = "zero"
 
     pipe = FLitePipeline.from_pretrained(
-        args.model, load_text_encoder=not args.no_text_encoder
+        args.model, load_text_encoder=not args.no_text_encoder,
+        quantize=args.quantize,
     )
     if args.no_text_encoder:
         from f_lite_tpu.text.encoder import ZeroTextEncoder

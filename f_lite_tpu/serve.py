@@ -40,6 +40,8 @@ def parse_args(argv=None):
                    help="tensor-parallel ways over local devices")
     p.add_argument("--output_dir", type=str, default="outputs")
     p.add_argument("--no_text_encoder", action="store_true")
+    p.add_argument("--quantize", action="store_true",
+                   help="int8 weight-only DiT projections (~1.7x matmuls)")
     return p.parse_args(argv)
 
 
@@ -62,6 +64,7 @@ def main(argv=None):
     pipe = FLitePipeline.from_pretrained(
         args.model,
         load_text_encoder=not (args.precomputed_dir or args.no_text_encoder),
+        quantize=args.quantize,
     )
     if args.precomputed_dir:
         from f_lite_tpu.text.encoder import PrecomputedTextEncoder
