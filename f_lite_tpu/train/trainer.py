@@ -46,6 +46,14 @@ def parse_args(argv=None):
     p.add_argument("--model_head_dim", type=int, default=256)
     p.add_argument("--rope_base", type=int, default=10_000)
     p.add_argument("--cross_attn_input_size", type=int, default=4096)
+    p.add_argument("--mlp_ratio", type=float, default=4.0)
+    p.add_argument("--cross_attn_first_n", type=int, default=8)
+    p.add_argument("--cross_attn_period", type=int, default=4)
+    p.add_argument("--cross_attn_all", action="store_true",
+                   help="cross-attention in every block (model_v2 pattern)")
+    p.add_argument("--adaln_mode", type=str, default="shared",
+                   choices=["shared", "per_block"],
+                   help="shared (v1) or per-block (v2) AdaLN heads")
     p.add_argument("--residual_v", action="store_true")
     p.add_argument("--train_bias_and_rms", action="store_true")
     p.add_argument("--scan_layers", action="store_true",
@@ -142,7 +150,12 @@ def build_dit(args, dtype):
         hidden_size=args.model_width,
         depth=args.model_depth,
         num_heads=args.model_width // args.model_head_dim,
+        mlp_ratio=args.mlp_ratio,
         cross_attn_input_size=args.cross_attn_input_size,
+        cross_attn_first_n=args.cross_attn_first_n,
+        cross_attn_period=args.cross_attn_period,
+        cross_attn_all=args.cross_attn_all,
+        adaln_mode=args.adaln_mode,
         rope_base=args.rope_base,
         residual_v=args.residual_v,
         train_bias_and_rms=args.train_bias_and_rms,
