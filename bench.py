@@ -80,12 +80,21 @@ def main():
 
     settings = DenoiseSettings(num_inference_steps=steps, guidance_scale=6.0)
     denoise = make_denoise_fn(model.apply, settings, donate=False)
-    decode = jax.jit(
-        lambda p, z: vae.apply(
-            p, z / vae_cfg.scaling_factor + vae_cfg.shift_factor,
-            method=AutoencoderKL.decode,
-        )
-    )
+
+    def _decode(p, z):
+        z = z / vae_cfg.scaling_factor + vae_cfg.shift_factor
+        if batch > 1:
+            # sliced decode (the `enable_slicing` memory mode): per-sample
+            # map keeps peak decoder activations batch-independent
+            return jax.lax.map(
+                lambda zi: vae.apply(
+                    p, zi[None], method=AutoencoderKL.decode
+                )[0],
+                z,
+            )
+        return vae.apply(p, z, method=AutoencoderKL.decode)
+
+    decode = jax.jit(_decode)
 
     def run():
         z = denoise(params, latents, pos, neg, mask)
