@@ -79,7 +79,11 @@ def main():
     mask = jnp.ones((batch, text_len), jnp.bool_)
 
     settings = DenoiseSettings(num_inference_steps=steps, guidance_scale=6.0)
-    denoise = make_denoise_fn(model.apply, settings, donate=False)
+    spd = os.environ.get("F_LITE_BENCH_DISPATCH_STEPS")
+    denoise = make_denoise_fn(
+        model.apply, settings, donate=False,
+        steps_per_dispatch=int(spd) if spd else None,
+    )
 
     def _decode(p, z):
         z = z / vae_cfg.scaling_factor + vae_cfg.shift_factor

@@ -313,6 +313,7 @@ class FLitePipeline:
         latents: jax.Array | None = None,
         output_type: str = "pil",
         return_latents: bool = False,
+        steps_per_dispatch: int | None = None,
     ):
         apg = apg_config if (apg_config and apg_config.enabled) else None
 
@@ -365,10 +366,13 @@ class FLitePipeline:
             apg=apg,
             alpha=alpha,
         )
-        key = (settings, bool(mask is not None))
+        key = (settings, bool(mask is not None), steps_per_dispatch)
         fn = self._denoise_cache.get(key)
         if fn is None:
-            fn = make_denoise_fn(self.dit_model.apply, settings, donate=True)
+            fn = make_denoise_fn(
+                self.dit_model.apply, settings, donate=True,
+                steps_per_dispatch=steps_per_dispatch,
+            )
             self._denoise_cache[key] = fn
 
         final = fn(

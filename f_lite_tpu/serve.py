@@ -42,6 +42,9 @@ def parse_args(argv=None):
     p.add_argument("--no_text_encoder", action="store_true")
     p.add_argument("--quantize", action="store_true",
                    help="int8 weight-only DiT projections (~1.7x matmuls)")
+    p.add_argument("--steps_per_dispatch", type=int, default=None,
+                   help="split the denoise trajectory into dispatches of "
+                        "at most N steps (avoids long-dispatch watchdogs)")
     return p.parse_args(argv)
 
 
@@ -111,6 +114,7 @@ def main(argv=None):
             num_inference_steps=args.steps,
             guidance_scale=args.guidance_scale,
             seed=args.seed + bi,
+            steps_per_dispatch=args.steps_per_dispatch,
         )
         dt = time.perf_counter() - t0
         for j, img in enumerate(out.images):

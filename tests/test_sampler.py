@@ -86,6 +86,21 @@ class TestDenoise:
             np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
         )
 
+    def test_chunked_matches_single_dispatch(self):
+        model, params, latents, pos, neg, mask = _setup(5)
+        settings = DenoiseSettings(num_inference_steps=5, guidance_scale=6.0)
+        one = make_denoise_fn(model.apply, settings, donate=False)(
+            params, latents, pos, neg, mask
+        )
+        for k in (1, 2, 5, 7):
+            chunked = make_denoise_fn(
+                model.apply, settings, donate=False, steps_per_dispatch=k
+            )(params, latents, pos, neg, mask)
+            np.testing.assert_allclose(
+                np.asarray(chunked), np.asarray(one), atol=1e-5, rtol=1e-5,
+                err_msg=f"steps_per_dispatch={k}",
+            )
+
     def test_jitted_fn(self):
         model, params, latents, pos, neg, mask = _setup(3)
         settings = DenoiseSettings(num_inference_steps=2, guidance_scale=6.0)
