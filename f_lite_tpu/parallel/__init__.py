@@ -2,6 +2,8 @@ from f_lite_tpu.parallel.mesh import LOGICAL_RULES, create_mesh
 from f_lite_tpu.parallel.sharding import (
     batch_sharding,
     infer_param_shardings,
+    process_replica_info,
+    put_global_batch,
     shard_params,
 )
 
@@ -10,5 +12,7 @@ __all__ = [
     "create_mesh",
     "batch_sharding",
     "infer_param_shardings",
+    "process_replica_info",
+    "put_global_batch",
     "shard_params",
 ]

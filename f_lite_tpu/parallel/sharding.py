@@ -47,3 +47,38 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def process_replica_info() -> tuple[int, int]:
+    """(num_replicas, rank) for data-parallel input striding across hosts.
+
+    Mirrors the reference's rank-strided samplers (`sampler.py:96-97`,
+    wired at `train.py:782-836`): each process loads a disjoint slice of
+    the dataset. Single-process returns (1, 0).
+    """
+    return jax.process_count(), jax.process_index()
+
+
+def put_global_batch(x, sharding: NamedSharding):
+    """Host-local batch -> global array on the mesh under `sharding`.
+
+    Single-process: plain device_put. Multi-process: `device_put` of a
+    host-local array is WRONG when the sharding spans processes (each host
+    would place the same values, silently training on duplicated data) —
+    instead every host contributes its local slice of the global batch
+    (global batch = local batch * process_count along dim 0) via
+    `jax.make_array_from_process_local_data`. The TPU analog of the
+    reference's per-rank DataLoader feeding NCCL-sharded FSDP2
+    (`distributed.py:46-68`).
+    """
+    import numpy as np
+
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    local = np.asarray(x)
+    global_shape = (
+        local.shape[0] * jax.process_count(),
+    ) + local.shape[1:]
+    return jax.make_array_from_process_local_data(
+        sharding, local, global_shape
+    )

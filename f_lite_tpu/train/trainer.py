@@ -58,7 +58,7 @@ def parse_args(argv=None):
     p.add_argument("--train_bias_and_rms", action="store_true")
     p.add_argument("--scan_layers", action="store_true",
                    help="lax.scan over layer stacks (faster compiles, "
-                        "stacked params; incompatible with residual_v/LoRA)")
+                        "stacked params; incompatible with LoRA)")
     # Data
     p.add_argument("--train_data_path", type=str, default=None)
     p.add_argument("--val_data_path", type=str, default=None)
@@ -244,10 +244,15 @@ def build_dataloader(args, batch_size, train=True, sampler_state=None):
         base_url=args.base_url,
         debug=args.debug,
     )
+    # rank-strided loading across hosts (`sampler.py:96-97` semantics):
+    # each process iterates a disjoint slice; single-host this is (1, 0)
+    from f_lite_tpu.parallel import process_replica_info
+
+    num_replicas, rank = process_replica_info()
     if args.use_resolution_buckets:
         sampler = ResolutionBucketSampler(
-            ds, batch_size, num_replicas=1, rank=0, shuffle=train,
-            seed=args.seed or 0,
+            ds, batch_size, num_replicas=num_replicas, rank=rank,
+            shuffle=train, seed=args.seed or 0,
         )
         if sampler_state:
             sampler.load_state_dict(sampler_state)
@@ -255,7 +260,7 @@ def build_dataloader(args, batch_size, train=True, sampler_state=None):
                         num_workers=args.num_workers)
         return dl, sampler
     sampler = StatefulDistributedSampler(
-        ds, batch_size, num_replicas=1, rank=0, shuffle=train,
+        ds, batch_size, num_replicas=num_replicas, rank=rank, shuffle=train,
         seed=args.seed or 0,
     )
     if sampler_state:
@@ -291,6 +296,19 @@ class MetricsLogger:
                 self.wandb = wandb
             except ImportError:
                 logger.warning("wandb not installed; skipping wandb logging")
+        if args.report_to != "none" and self.tb is None \
+                and self.wandb is None:
+            # never degrade to silence: a long training run with no metrics
+            # backend is almost certainly a misconfiguration
+            logger.error(
+                "NO metrics backend is active (--report_to %s, tensorboardX"
+                " %savailable, wandb %savailable) — training metrics will "
+                "only appear in stdout logs. Install tensorboardX/wandb or "
+                "pass --report_to none to silence this.",
+                args.report_to,
+                "" if self.tb is not None else "un",
+                "" if self.wandb is not None else "un",
+            )
 
     def log(self, scalars: dict, step: int):
         if self.tb is not None:
@@ -318,6 +336,9 @@ DEFAULT_SAMPLE_PROMPTS = [
 ]
 
 
+_SAMPLE_DENOISE_CACHE: dict = {}
+
+
 def sample_images(
     model, params, vae, vae_params, text_encoder, global_step,
     *, image_size=256, num_inference_steps=50, cfg_scale=6.0,
@@ -325,7 +346,7 @@ def sample_images(
 ):
     """Eval-time image grid (`train.py:501-615`)."""
     from f_lite_tpu.models.vae import AutoencoderKL, denormalize_latents
-    from f_lite_tpu.sampling.euler import DenoiseSettings, denoise
+    from f_lite_tpu.sampling.euler import DenoiseSettings, make_denoise_fn
     from f_lite_tpu.utils.image import make_image_grid, to_pil_images
 
     if prompts_file and Path(prompts_file).exists():
@@ -347,11 +368,15 @@ def sample_images(
     settings = DenoiseSettings(
         num_inference_steps=num_inference_steps, guidance_scale=cfg_scale
     )
-    final = denoise(
-        model.apply, params, latents,
-        jnp.asarray(embeds, dtype), jnp.zeros_like(jnp.asarray(embeds, dtype)),
-        jnp.asarray(mask), settings,
-    )
+    # jitted + cached across calls: re-sampling every --sample_every must
+    # not re-trace the whole 50-step scan (same-config models share a key)
+    key = (model.config, settings)
+    fn = _SAMPLE_DENOISE_CACHE.get(key)
+    if fn is None:
+        fn = make_denoise_fn(model.apply, settings, donate=False)
+        _SAMPLE_DENOISE_CACHE[key] = fn
+    pos = jnp.asarray(embeds, dtype)
+    final = fn(params, latents, pos, jnp.zeros_like(pos), jnp.asarray(mask))
     z = denormalize_latents(final.astype(jnp.float32), vae.config)
     imgs = vae.apply(
         vae_params, z.astype(vae.config.dtype), method=AutoencoderKL.decode
@@ -378,6 +403,7 @@ def train(args) -> dict:
         batch_sharding,
         create_mesh,
         infer_param_shardings,
+        put_global_batch,
         shard_params,
     )
     from f_lite_tpu.train.checkpoint import Checkpointer
@@ -402,6 +428,12 @@ def train(args) -> dict:
         raise SystemExit(
             "--use_precomputed_data requires --precomputed_data_dir"
         )
+    if args.use_lora and args.scan_layers:
+        raise SystemExit(
+            "--use_lora is incompatible with --scan_layers: LoRA factors "
+            "attach to unrolled 2-D kernels (stacked scan kernels would "
+            "produce an empty factor tree and train nothing)"
+        )
     if args.seed is not None:
         np.random.seed(args.seed)
     rng = jax.random.key(args.seed or 0)
@@ -412,6 +444,11 @@ def train(args) -> dict:
     fsdp = args.fsdp or max(1, n_dev // (args.dp * args.tp))
     mesh = create_mesh(dp=args.dp, fsdp=fsdp, tp=args.tp,
                       devices=jax.devices()[: args.dp * fsdp * args.tp])
+    # activation sharding annotations (models/dit.py _constrain) engage
+    # for every trace below
+    from f_lite_tpu.parallel.mesh import use_mesh_rules
+
+    use_mesh_rules(mesh)
     logger.info("mesh: dp=%d fsdp=%d tp=%d", args.dp, fsdp, args.tp)
 
     # models
@@ -600,10 +637,13 @@ def train(args) -> dict:
             latents = jnp.tile(latents, (reps, 1, 1, 1))
             ctx = np.tile(ctx, (reps, 1, 1))
             mask = np.tile(mask, (reps, 1))
+        # put_global_batch: device_put single-host; across hosts each
+        # process contributes its slice of the global batch (global batch
+        # = train_batch_size * process_count)
         return (
-            jax.device_put(latents.astype(dtype), bsh),
-            jax.device_put(jnp.asarray(ctx, dtype), bsh),
-            jax.device_put(jnp.asarray(mask), bsh),
+            put_global_batch(latents.astype(dtype), bsh),
+            put_global_batch(jnp.asarray(ctx, dtype), bsh),
+            put_global_batch(jnp.asarray(mask), bsh),
         )
 
     logger.info(

@@ -1,0 +1,115 @@
+"""Subprocess driver for the 2-process multihost test (test_multihost.py).
+
+Each of two processes owns 4 virtual CPU devices; together they form the
+8-device (dp=2, fsdp=2, tp=2) mesh. Exercises the real multihost wiring:
+`process_replica_info` -> rank-strided sampler slices, and
+`put_global_batch` -> `jax.make_array_from_process_local_data` feeding one
+sharded train step. Prints one JSON line {rank, indices, loss} for the
+parent test to assert on (disjoint streams, identical finite loss).
+
+Replaces the reference's only multi-node verification — running on the real
+cluster (`slurm_pretrain.sbatch`) — with a hermetic CI-able harness
+(SURVEY.md §4 consequence (d)).
+"""
+
+import json
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    port = sys.argv[1]
+    pid = int(sys.argv[2])
+
+    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    os.environ.pop("JAX_PLATFORMS", None)
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address=f"localhost:{port}",
+        num_processes=2,
+        process_id=pid,
+    )
+    assert jax.process_count() == 2
+    assert len(jax.devices()) == 8
+    assert len(jax.local_devices()) == 4
+
+    import jax.numpy as jnp
+
+    from f_lite_tpu.data.samplers import StatefulDistributedSampler
+    from f_lite_tpu.models.dit import DiT, DiTConfig
+    from f_lite_tpu.parallel import (
+        batch_sharding,
+        create_mesh,
+        infer_param_shardings,
+        process_replica_info,
+        put_global_batch,
+        shard_params,
+    )
+    from f_lite_tpu.train.optim import build_optimizer
+    from f_lite_tpu.train.step import init_train_state, make_train_step
+
+    num_replicas, rank = process_replica_info()
+    assert num_replicas == 2
+    sampler = StatefulDistributedSampler(
+        list(range(64)), batch_size=4, num_replicas=num_replicas,
+        rank=rank, shuffle=True, seed=0,
+    )
+    indices = [int(i) for i in list(iter(sampler))[:16]]
+
+    mesh = create_mesh(dp=2, fsdp=2, tp=2)
+
+    cfg = DiTConfig(
+        in_channels=16, patch_size=2, hidden_size=128, depth=2, num_heads=4,
+        mlp_ratio=2.0, cross_attn_input_size=64,
+        use_pallas_attention=False,
+    )
+    model = DiT(cfg)
+    x0 = jnp.zeros((1, 16, 16, cfg.in_channels))
+    c0 = jnp.zeros((1, 8, cfg.cross_attn_input_size))
+    m0 = jnp.ones((1, 8), jnp.bool_)
+    t0 = jnp.zeros((1,))
+    init_fn = lambda: model.init(jax.random.key(0), x0, c0, m0, t0)
+
+    import flax.linen as nn
+
+    shardings = infer_param_shardings(init_fn, mesh)
+    params = shard_params(nn.meta.unbox(init_fn()), shardings)
+
+    opt = build_optimizer(learning_rate=1e-4, max_steps=10)
+    state = init_train_state(params, opt)
+    step = make_train_step(model.apply, opt, donate=False)
+
+    bsh = batch_sharding(mesh)
+    # per-process local slice; values depend on rank so a device_put-style
+    # duplication bug would change the (global) loss between configurations
+    import numpy as np
+
+    rs = np.random.RandomState(100 + rank)
+    local_b = 4  # global batch 8
+    latents = put_global_batch(
+        rs.randn(local_b, 16, 16, 16).astype(np.float32), bsh
+    )
+    ctx = put_global_batch(
+        rs.randn(local_b, 8, 64).astype(np.float32), bsh
+    )
+    mask = put_global_batch(np.ones((local_b, 8), bool), bsh)
+
+    state2, loss, metrics = step(state, jax.random.key(3), latents, ctx, mask)
+    out = {
+        "rank": rank,
+        "indices": indices,
+        "loss": float(loss),
+        "grad_norm": float(metrics["grad_norm"]),
+        "step": int(state2.step),
+    }
+    print("RESULT " + json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
