@@ -7,11 +7,18 @@ The reference publishes no perf numbers; the north-star target is 7B
 1024x1024 30-step < 4 s p50 on v5e-8, i.e. 32 chip-seconds/image ==
 1.875 images/min/chip. `vs_baseline` = measured / 1.875 (>1 beats target).
 
-The timed path is the full latent trajectory (30-step CFG-batched Euler
-scan, one jit) + bf16 VAE decode — the compute-dominant 95%+ of prompt->PNG
-(`SURVEY.md §3.1`); text encoding is excluded (cached-embedding serving
-path, `precomputed_utils.py` semantics). Weights are zero-filled: values
-don't affect TPU kernel timing.
+Two timed legs:
+1. denoise+decode — the full latent trajectory (30-step CFG-batched Euler
+   scan, one jit) + bf16 VAE decode. This is the cached-embedding serving
+   path (`precomputed_utils.py` semantics) and the headline metric.
+2. text encode — a real-shape T5-XXL (4096 dim, 24 layers, ~4.7B params)
+   Flax encoder pass, `hidden_states[-8]`, run as its own phase (the two
+   models don't fit one 16 GB chip together — the reference's cpu_offload
+   swap has the same sequencing). Reported as
+   `p50_seconds_per_image_e2e` = denoise+decode p50 + encode p50, i.e.
+   the full prompt->PNG budget. Set F_LITE_BENCH_E2E=0 to skip.
+
+Weights are zero-filled: values don't affect TPU kernel timing.
 """
 
 from __future__ import annotations
@@ -25,18 +32,76 @@ os.environ.setdefault("F_LITE_BENCH_STEPS", "30")
 TARGET_IMAGES_PER_MIN_PER_CHIP = 60.0 / 32.0  # north-star: 4s p50 on 8 chips
 
 
-def main():
+def bench_text_encode(batch: int, text_len: int = 128) -> float | None:
+    """p50 seconds for one T5-XXL encode pass at real shapes (zero weights).
+
+    Runs BEFORE the DiT phase and releases its params after: 4.7B bf16
+    (~9.4 GB) + the 7B DiT don't fit one v5e chip simultaneously.
+    """
+    import time
+
     import jax
     import jax.numpy as jnp
 
+    try:
+        from transformers import FlaxT5EncoderModel, T5Config
+    except ImportError:
+        return None
+
+    cfg = T5Config(  # T5-XXL (FLUX.1-schnell text_encoder_2 shape)
+        d_model=4096, d_ff=10240, num_layers=24, num_heads=64, d_kv=64,
+        vocab_size=32128,
+    )
+    model = FlaxT5EncoderModel(cfg, _do_init=False, dtype=jnp.bfloat16)
+    ids = jnp.ones((batch, text_len), jnp.int32)
+    mask = jnp.ones((batch, text_len), jnp.int32)
+    shapes = jax.eval_shape(
+        lambda: model.module.init(jax.random.key(0), ids, mask)
+    )
+    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+    @jax.jit
+    def encode(params, ids, mask):
+        out = model.module.apply(
+            params, ids, mask, output_hidden_states=True
+        )
+        return out.hidden_states[-8].astype(jnp.bfloat16)
+
+    def run():
+        return float(jnp.sum(encode(params, ids, mask).astype(jnp.float32)))
+
+    run()  # compile + warmup
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    del params
+    return sorted(times)[len(times) // 2]
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     from f_lite_tpu.models.dit import DiT, DiTConfig
     from f_lite_tpu.models.vae import AutoencoderKL, VAEConfig
-    from f_lite_tpu.sampling.euler import DenoiseSettings, make_denoise_fn
+    from f_lite_tpu.sampling.euler import (
+        DenoiseSettings,
+        auto_steps_per_dispatch,
+        make_denoise_fn,
+    )
 
     steps = int(os.environ["F_LITE_BENCH_STEPS"])
     height = width = int(os.environ.get("F_LITE_BENCH_SIZE", "1024"))
     batch = int(os.environ.get("F_LITE_BENCH_BATCH", "1"))
     dtype = jnp.bfloat16
+
+    # text-encode leg first (own phase; params released before the DiT)
+    encode_p50 = None
+    if os.environ.get("F_LITE_BENCH_E2E", "1") == "1":
+        encode_p50 = bench_text_encode(batch)
 
     # scan_layers: same math/perf as unrolled (verified), 8.8x faster compile
     quantized = os.environ.get("F_LITE_BENCH_QUANT", "1") == "1"
@@ -79,10 +144,13 @@ def main():
     mask = jnp.ones((batch, text_len), jnp.bool_)
 
     settings = DenoiseSettings(num_inference_steps=steps, guidance_scale=6.0)
-    spd = os.environ.get("F_LITE_BENCH_DISPATCH_STEPS")
+    spd_env = os.environ.get("F_LITE_BENCH_DISPATCH_STEPS")
+    # auto: bound dispatch wall time (the remote worker kills >~40 s
+    # dispatches; batch 1 at 1024px stays single-dispatch)
+    spd = (int(spd_env) if spd_env
+           else auto_steps_per_dispatch(batch, steps, lh * lw))
     denoise = make_denoise_fn(
-        model.apply, settings, donate=False,
-        steps_per_dispatch=int(spd) if spd else None,
+        model.apply, settings, donate=False, steps_per_dispatch=spd,
     )
 
     def _decode(p, z):
@@ -100,10 +168,18 @@ def main():
 
     decode = jax.jit(_decode)
 
+    to_uint8 = jax.jit(
+        lambda img: jnp.clip(
+            (img.astype(jnp.float32) + 1.0) * 127.5, 0, 255
+        ).astype(jnp.uint8)
+    )
+
     def run():
         z = denoise(params, latents, pos, neg, mask)
         img = decode(vae_params, z)
-        return float(jnp.sum(img.astype(jnp.float32)))  # force materialize
+        # uint8 conversion + host copy: the actual PNG-side boundary
+        arr = np.asarray(to_uint8(img))
+        return int(arr.sum())
 
     run()  # compile + warmup
     times = []
@@ -115,7 +191,7 @@ def main():
     images_per_min = 60.0 * batch / p50
 
     mode = "int8-weight-only" if quantized else "bf16"
-    print(json.dumps({
+    record = {
         "metric": (
             f"F-Lite-7B {height}px {steps}-step images/min/chip ({mode})"
         ),
@@ -126,7 +202,14 @@ def main():
         ),
         "p50_seconds_per_image": round(p50 / batch, 3),
         "mode": mode,
-    }))
+    }
+    if encode_p50 is not None:
+        # full prompt->PNG budget: T5-XXL encode + denoise + decode + host
+        record["p50_seconds_text_encode"] = round(encode_p50 / batch, 3)
+        record["p50_seconds_per_image_e2e"] = round(
+            (p50 + encode_p50) / batch, 3
+        )
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -177,6 +177,9 @@ def build_app(model_path: str, output_dir: str = "outputs",
                 apg_config=APGConfig(
                     enabled=True, orthogonal_threshold=apg_threshold
                 ) if use_apg else None,
+                # Stop lands mid-trajectory at the next dispatch boundary
+                # (the reference GUI's step-callback cancel, `:87-109`)
+                callback=lambda done, total: controller.should_stop,
             )
             img = out.images[0]
             path = dated_output_path(output_dir)

@@ -43,7 +43,11 @@ from f_lite_tpu.models.vae import (
     denormalize_latents,
 )
 from f_lite_tpu.ops.guidance import APGConfig
-from f_lite_tpu.sampling.euler import DenoiseSettings, make_denoise_fn
+from f_lite_tpu.sampling.euler import (
+    DenoiseSettings,
+    auto_steps_per_dispatch,
+    make_denoise_fn,
+)
 from f_lite_tpu.utils.image import to_pil_images
 
 
@@ -124,8 +128,9 @@ class FLitePipeline:
         self._decode_mode = "tiled"
 
     def set_progress_bar_config(self, **kwargs):
-        """API-compat stub (`pipeline.py:95-97`): the scan-based sampler
-        runs all steps in one dispatch, so there is no per-step bar."""
+        """API-compat no-op (`pipeline.py:95-97`): the scan-based sampler
+        has no host-visible per-step loop. For progress/cancellation use
+        `__call__(callback=...)`, which fires at dispatch boundaries."""
         self._progress_bar_config = kwargs
 
     def warmup(
@@ -171,18 +176,25 @@ class FLitePipeline:
         text_encoder: Any | None = None,
         load_text_encoder: bool = True,
         quantize: bool = False,
+        pad_heads_to: int | None = None,
     ) -> "FLitePipeline":
         """`quantize=True`: int8 weight-only projections (~1.74x matmul
-        speedup on v5e, see f_lite_tpu/quant.py)."""
+        speedup on v5e, see f_lite_tpu/quant.py).
+
+        `pad_heads_to=N`: zero-pad attention to N heads (exact; see
+        DiTConfig.padded_heads) so a tensor-parallel degree that doesn't
+        divide num_heads (7B: 10, 10B: 12 on a v5e-8) shards evenly."""
         path = Path(path)
         index = json.loads((path / "model_index.json").read_text())
 
         dit_cfg_d = json.loads((path / "dit" / "config.json").read_text())
-        dit_cfg = DiTConfig(
-            **{**_config_kwargs(DiTConfig, dit_cfg_d),
-               "quantized": quantize},
-            dtype=dtype, param_dtype=dtype,
-        )
+        cfg_kwargs = {
+            **_config_kwargs(DiTConfig, dit_cfg_d),
+            "quantized": quantize,
+        }
+        if pad_heads_to:
+            cfg_kwargs["padded_heads"] = pad_heads_to
+        dit_cfg = DiTConfig(**cfg_kwargs, dtype=dtype, param_dtype=dtype)
         dit = DiT(dit_cfg)
         dit_params = jax.tree.map(
             lambda x: jnp.asarray(x, dtype),
@@ -190,6 +202,12 @@ class FLitePipeline:
                 path / "dit" / "flax_params.safetensors"
             )},
         )
+        if pad_heads_to:
+            from f_lite_tpu.convert.torch_to_jax import pad_head_params
+
+            dit_params = pad_head_params(
+                dit_params, dit_cfg.head_dim, pad_heads_to
+            )
         if quantize:
             from f_lite_tpu.quant import quantize_dit_params
 
@@ -314,7 +332,19 @@ class FLitePipeline:
         output_type: str = "pil",
         return_latents: bool = False,
         steps_per_dispatch: int | None = None,
+        callback: Any = None,
     ):
+        """Generate images. Beyond the reference surface
+        (`pipeline.py:188-202`):
+
+        - `steps_per_dispatch`: None = auto (bound each device dispatch to
+          ~a batch-1 1024px 32-step workload — see
+          `sampling.euler.auto_steps_per_dispatch`); 0 forces a single
+          dispatch; N chunks explicitly.
+        - `callback(done_steps, total_steps) -> bool`: progress hook run at
+          every dispatch boundary; return truthy to cancel mid-trajectory
+          (the GUI forever-mode contract, `f_lite_gradio_gui.py:87-109`).
+        """
         apg = apg_config if (apg_config and apg_config.enabled) else None
 
         if prompt_embeds is None:
@@ -356,16 +386,18 @@ class FLitePipeline:
                 dtype,
             )
 
-        # cross-attn mask: combined pos/neg mask must be the CFG-batched
-        # layout; the reference uses all-ones for the zeros negative
-        # (`train.py:561-562` semantics). Use the positive mask for both
-        # halves (matches `pipeline.py` which passes no mask at all).
         settings = DenoiseSettings(
             num_inference_steps=num_inference_steps,
             guidance_scale=guidance_scale,
             apg=apg,
             alpha=alpha,
         )
+        if steps_per_dispatch is None:
+            steps_per_dispatch = auto_steps_per_dispatch(
+                batch, num_inference_steps, lh * lw
+            )
+        elif steps_per_dispatch == 0:
+            steps_per_dispatch = None
         key = (settings, bool(mask is not None), steps_per_dispatch)
         fn = self._denoise_cache.get(key)
         if fn is None:
@@ -375,12 +407,22 @@ class FLitePipeline:
             )
             self._denoise_cache[key] = fn
 
+        # CFG context-mask layout is [neg_mask, pos_mask]: an asymmetric
+        # negative prompt keeps its own key mask. (The reference's HF-side
+        # forward takes no mask at inference and attends to pads; masking
+        # both halves correctly is this framework's varlen equivalence.)
         final = fn(
             self.dit_params,
             latents,
             jnp.asarray(embeds, dtype),
             jnp.asarray(neg, dtype),
             jnp.asarray(mask) if mask is not None else None,
+            neg_mask=(
+                jnp.asarray(neg_mask)
+                if (mask is not None and neg_mask is not None)
+                else None
+            ),
+            callback=callback,
         )
 
         if return_latents or self.vae is None:

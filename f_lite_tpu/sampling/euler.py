@@ -10,7 +10,9 @@ Semantics preserved:
 - descending schedule i = N..1 with the resolution-shift map
   (`pipeline.py:252-257`);
 - CFG batched in ONE forward: latents duplicated, context = [neg, pos]
-  (`pipeline.py:262-274`) — uncond first, like the reference;
+  (`pipeline.py:262-274`) — uncond first, like the reference; the context
+  mask is batched [neg_mask, pos_mask] so an asymmetric negative prompt
+  keeps its own key mask;
 - APG or standard CFG combine (`pipeline.py:276-290`);
 - update z += (t - t_next) * v (`pipeline.py:296-297`).
 """
@@ -18,7 +20,6 @@ Semantics preserved:
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable
 
 import jax
@@ -38,71 +39,29 @@ class DenoiseSettings:
     alpha: float | None = None  # None: derive from latent h*w
 
 
-def denoise(
-    dit_apply: Callable,
-    params: Any,
-    latents: jax.Array,
-    prompt_embeds: jax.Array,
-    negative_embeds: jax.Array,
-    context_mask: jax.Array | None,
-    settings: DenoiseSettings,
-) -> jax.Array:
-    """Run the full Euler denoise loop. latents: (B, h, w, C) NHWC.
-
-    `dit_apply(params, x, context, context_mask, t)` is the model forward
-    (typically `DiT(config).apply`). prompt/negative embeds: (B, S, Ctx).
-    """
-    b, lh, lw, _ = latents.shape
+def _full_schedule(settings: DenoiseSettings, lh: int, lw: int):
     alpha = settings.alpha
     if alpha is None:
         alpha = resolution_alpha(lh * lw)
-
-    do_cfg = settings.guidance_scale >= 1.0
-    schedule = euler_timestep_pairs(settings.num_inference_steps, alpha)
-
-    if do_cfg:
-        # [neg | pos] context, like `pipeline.py:266`
-        context = jnp.concatenate([negative_embeds, prompt_embeds], axis=0)
-        if context_mask is not None:
-            context_mask = jnp.concatenate([context_mask, context_mask], axis=0)
-    else:
-        context = prompt_embeds
-
-    def step(z, t_pair):
-        t, t_next = t_pair[0], t_pair[1]
-        dt = (t - t_next).astype(jnp.float32)
-        if do_cfg:
-            z_in = jnp.concatenate([z, z], axis=0)
-            t_in = jnp.full((2 * b,), t, z.dtype)
-            out = dit_apply(params, z_in, context, context_mask, t_in)
-            uncond, cond = out[:b], out[b:]
-            v = guidance_combine(
-                uncond, cond, settings.guidance_scale, settings.apg
-            )
-        else:
-            t_in = jnp.full((b,), t, z.dtype)
-            v = dit_apply(params, z, context, context_mask, t_in)
-        z = z + dt * v.astype(jnp.float32)
-        return z, None
-
-    z32 = latents.astype(jnp.float32)
-    z_final, _ = jax.lax.scan(step, z32, schedule)
-    return z_final.astype(latents.dtype)
+    return euler_timestep_pairs(settings.num_inference_steps, alpha)
 
 
 def _denoise_schedule(
     dit_apply, params, latents, prompt_embeds, negative_embeds,
-    context_mask, schedule, settings: DenoiseSettings,
+    context_mask, negative_mask, schedule, settings: DenoiseSettings,
 ):
-    """Core scan over an explicit (t, t_next) schedule slice."""
+    """Core scan over an explicit (t, t_next) schedule slice.
+
+    latents are fp32 (integration accumulator); context mask batched
+    [neg_mask, pos_mask] under CFG (`pipeline.py:266` context order).
+    """
     b = latents.shape[0]
     do_cfg = settings.guidance_scale >= 1.0
     if do_cfg:
         context = jnp.concatenate([negative_embeds, prompt_embeds], axis=0)
         if context_mask is not None:
-            context_mask = jnp.concatenate(
-                [context_mask, context_mask], axis=0
-            )
+            nm = negative_mask if negative_mask is not None else context_mask
+            context_mask = jnp.concatenate([nm, context_mask], axis=0)
     else:
         context = prompt_embeds
 
@@ -125,50 +84,94 @@ def _denoise_schedule(
     return z_final
 
 
+def denoise(
+    dit_apply: Callable,
+    params: Any,
+    latents: jax.Array,
+    prompt_embeds: jax.Array,
+    negative_embeds: jax.Array,
+    context_mask: jax.Array | None,
+    settings: DenoiseSettings,
+    negative_mask: jax.Array | None = None,
+) -> jax.Array:
+    """Run the full Euler denoise loop. latents: (B, h, w, C) NHWC.
+
+    `dit_apply(params, x, context, context_mask, t)` is the model forward
+    (typically `DiT(config).apply`). prompt/negative embeds: (B, S, Ctx).
+    `negative_mask` defaults to `context_mask` (all-ones negative embeds
+    use the positive mask, `train.py:561-562` semantics).
+    """
+    b, lh, lw, _ = latents.shape
+    schedule = _full_schedule(settings, lh, lw)
+    z = _denoise_schedule(
+        dit_apply, params, latents, prompt_embeds, negative_embeds,
+        context_mask, negative_mask, schedule, settings,
+    )
+    return z.astype(latents.dtype)
+
+
+def auto_steps_per_dispatch(
+    batch: int, steps: int, latent_tokens: int = 16384
+) -> int | None:
+    """Default trajectory chunking: bound single-dispatch wall time.
+
+    Some runtimes kill device dispatches that exceed ~40 s (observed on the
+    remote v5e worker: a batch-4 1024px 30-step single dispatch ~60 s died
+    as a "kernel fault"; the same trajectory chunked at 5 steps/dispatch
+    ran clean at 15.2 s/image — tools/probe_batch_crash.py). Chunking is
+    bit-identical (the schedule slice is a traced argument: ONE compilation)
+    and costs ~30 ms/dispatch, so default to dispatches of roughly a
+    batch-1 1024px workload x32 steps (~15 s on v5e): scale allowed steps
+    by batch and by latent tokens relative to 1024px (128x128 latents).
+
+    Returns None (single dispatch) when the whole trajectory fits.
+    """
+    units = batch * max(latent_tokens, 1) / 16384.0
+    k = int(32.0 / max(units, 1e-9))
+    if k >= steps:
+        return None
+    return max(1, k)
+
+
 def make_denoise_fn(
     dit_apply: Callable,
     settings: DenoiseSettings,
     donate: bool = True,
     steps_per_dispatch: int | None = None,
 ):
-    """jit-compiled denoise closure; latents buffer donated.
+    """jit-compiled denoise closure.
+
+    Returns `fn(params, latents, prompt_embeds, negative_embeds,
+    context_mask, neg_mask=None, callback=None)`.
 
     `steps_per_dispatch`: split the trajectory into several device
     dispatches of at most this many steps (one compilation — the schedule
     slice is a traced argument). Use when a single long dispatch is
-    undesirable (execution watchdogs on some runtimes, or to interleave
-    host work); None = the whole trajectory in one dispatch.
+    undesirable (execution watchdogs, host-side progress); None = whole
+    trajectory in one dispatch. See `auto_steps_per_dispatch`.
+
+    `callback(done_steps, total_steps) -> bool`: invoked after every
+    dispatch (once, at completion, for the single-dispatch path); return
+    truthy to cancel — the current latents are returned early. This is the
+    cooperative-cancellation hook the reference GUI uses for forever-mode
+    (`f_lite_gradio_gui.py:87-109`).
     """
-    if steps_per_dispatch is None:
-        fn = partial(denoise, dit_apply)
-
-        def wrapped(params, latents, prompt_embeds, negative_embeds,
-                    context_mask):
-            return fn(
-                params, latents, prompt_embeds, negative_embeds,
-                context_mask, settings,
-            )
-
-        return jax.jit(wrapped, donate_argnums=(1,) if donate else ())
-
     runner = jax.jit(
-        lambda params, z, pos, neg, mask, schedule: _denoise_schedule(
-            dit_apply, params, z, pos, neg, mask, schedule, settings
+        lambda params, z, pos, neg, mask, nmask, schedule: (
+            _denoise_schedule(
+                dit_apply, params, z, pos, neg, mask, nmask, schedule,
+                settings,
+            )
         ),
         donate_argnums=(1,),
     )
 
-    def chunked(params, latents, prompt_embeds, negative_embeds,
-                context_mask):
+    def fn(params, latents, prompt_embeds, negative_embeds, context_mask,
+           neg_mask=None, callback=None):
         lh, lw = latents.shape[1], latents.shape[2]
-        alpha = settings.alpha
-        if alpha is None:
-            alpha = resolution_alpha(lh * lw)
-        schedule = euler_timestep_pairs(
-            settings.num_inference_steps, alpha
-        )
+        schedule = _full_schedule(settings, lh, lw)
         n = settings.num_inference_steps
-        k = steps_per_dispatch
+        k = steps_per_dispatch or n
         # pad to a multiple of k with zero-dt pairs (no-op steps) so every
         # dispatch reuses one compiled shape
         pad = (-n) % k
@@ -180,12 +183,16 @@ def make_denoise_fn(
                 axis=0,
             )
         out_dtype = latents.dtype
-        # explicit copy: astype to the same dtype aliases, and the runner
-        # donates its z argument
-        z = jnp.array(latents, jnp.float32, copy=True)
+        if donate and steps_per_dispatch is None and pad == 0:
+            z = latents.astype(jnp.float32)  # single dispatch: safe to alias
+        else:
+            # explicit copy: the runner donates its z argument
+            z = jnp.array(latents, jnp.float32, copy=True)
         for s in range(0, n + pad, k):
             z = runner(params, z, prompt_embeds, negative_embeds,
-                       context_mask, schedule[s : s + k])
+                       context_mask, neg_mask, schedule[s : s + k])
+            if callback is not None and callback(min(s + k, n), n):
+                break
         return z.astype(out_dtype)
 
-    return chunked
+    return fn

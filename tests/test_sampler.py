@@ -124,3 +124,109 @@ class TestDenoise:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(latents), atol=1e-6
         )
+
+
+class TestNegativeMask:
+    def test_asymmetric_neg_mask_changes_output(self):
+        """A negative prompt longer than the positive keeps its own key
+        mask through the CFG concat (round-1 dropped neg_mask entirely)."""
+        model, params, latents, pos, _, mask = _setup(11)
+        neg = jax.random.normal(jax.random.key(99), pos.shape)
+        pos_mask = jnp.asarray([[True] * 4 + [False] * 4,
+                                [True] * 8])
+        neg_mask = jnp.ones((2, 8), jnp.bool_)  # negative uses all 8 tokens
+        settings = DenoiseSettings(num_inference_steps=3, guidance_scale=6.0)
+        fn = make_denoise_fn(model.apply, settings, donate=False)
+        with_neg_mask = fn(params, latents, pos, neg, pos_mask,
+                           neg_mask=neg_mask)
+        without = fn(params, latents, pos, neg, pos_mask)
+        diff = np.abs(
+            np.asarray(with_neg_mask) - np.asarray(without)
+        ).max()
+        assert diff > 1e-6, "neg_mask was ignored"
+
+    def test_neg_mask_oracle(self):
+        """neg_mask path == python loop with [neg_mask, pos_mask] concat."""
+        model, params, latents, pos, _, _ = _setup(12)
+        neg = jax.random.normal(jax.random.key(98), pos.shape)
+        pos_mask = jnp.asarray([[True] * 6 + [False] * 2, [True] * 8])
+        neg_mask = jnp.asarray([[True] * 8, [True] * 3 + [False] * 5])
+        settings = DenoiseSettings(num_inference_steps=3, guidance_scale=6.0)
+        got = make_denoise_fn(model.apply, settings, donate=False)(
+            params, latents, pos, neg, pos_mask, neg_mask=neg_mask
+        )
+
+        b = latents.shape[0]
+        alpha = resolution_alpha(latents.shape[1] * latents.shape[2])
+        z = latents.astype(jnp.float32)
+        for i in range(3, 0, -1):
+            t, t_next = shift_t(i / 3, alpha), shift_t((i - 1) / 3, alpha)
+            z_in = jnp.concatenate([z, z], 0)
+            ctx = jnp.concatenate([neg, pos], 0)
+            m = jnp.concatenate([neg_mask, pos_mask], 0)
+            t_in = jnp.full((2 * b,), t, jnp.float32)
+            out = model.apply(params, z_in, ctx, m, t_in)
+            v = guidance_combine(out[:b], out[b:], 6.0, None)
+            z = z + (t - t_next) * v.astype(jnp.float32)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(z), atol=1e-5, rtol=1e-5
+        )
+
+
+class TestCallback:
+    def test_progress_and_completion(self):
+        model, params, latents, pos, neg, mask = _setup(13)
+        settings = DenoiseSettings(num_inference_steps=6, guidance_scale=6.0)
+        fn = make_denoise_fn(model.apply, settings, donate=False,
+                             steps_per_dispatch=2)
+        seen = []
+        fn(params, latents, pos, neg, mask,
+           callback=lambda done, total: seen.append((done, total)) and False)
+        assert seen == [(2, 6), (4, 6), (6, 6)]
+
+    def test_single_dispatch_fires_once(self):
+        model, params, latents, pos, neg, mask = _setup(13)
+        settings = DenoiseSettings(num_inference_steps=4, guidance_scale=6.0)
+        seen = []
+        make_denoise_fn(model.apply, settings, donate=False)(
+            params, latents, pos, neg, mask,
+            callback=lambda done, total: seen.append((done, total)),
+        )
+        assert seen == [(4, 4)]
+
+    def test_cancellation_stops_early(self):
+        model, params, latents, pos, neg, mask = _setup(14)
+        settings = DenoiseSettings(num_inference_steps=6, guidance_scale=6.0)
+        fn = make_denoise_fn(model.apply, settings, donate=False,
+                             steps_per_dispatch=2)
+        # cancel after the first dispatch -> equals a 2-step partial run
+        out = fn(params, latents, pos, neg, mask,
+                 callback=lambda done, total: done >= 2)
+        # oracle: run the same 6-step schedule but only its first 2 steps
+        from f_lite_tpu.sampling.euler import (
+            _denoise_schedule,
+            _full_schedule,
+        )
+
+        schedule = _full_schedule(settings, 16, 16)
+        want = _denoise_schedule(
+            model.apply, params, latents, pos, neg, mask, None,
+            schedule[:2], settings,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(want), atol=1e-5, rtol=1e-5
+        )
+
+
+class TestAutoStepsPerDispatch:
+    def test_policy(self):
+        from f_lite_tpu.sampling.euler import auto_steps_per_dispatch
+
+        # batch-1 1024px (128x128 latents): whole trajectory, known good
+        assert auto_steps_per_dispatch(1, 30, 128 * 128) is None
+        # batch-4 1024px: the round-1 crash config -> chunked
+        assert auto_steps_per_dispatch(4, 30, 128 * 128) == 8
+        # batch-1 2048px: long dispatch -> chunked
+        assert auto_steps_per_dispatch(1, 30, 256 * 256) == 8
+        # tiny workloads: never chunk
+        assert auto_steps_per_dispatch(4, 50, 16 * 16) is None
