@@ -12,6 +12,13 @@ packing with a key-padding mask (SURVEY.md §7.1):
 
 Layout: q (B, H, Lq, D); k, v (B, H, Lk, D); kv_mask (B, Lk) bool, True=real.
 Softmax statistics accumulate in fp32 in both paths.
+
+Mask contract: the Pallas kernel masks by per-batch *prefix length*, so its
+`kv_mask` must be right-padded (True...False...). The XLA path accepts any
+mask. Callers holding an arbitrary mask should canonicalize once with
+`compact_context` — softmax attention is permutation-invariant over
+key/value pairs, so stably moving real tokens to the front is exact (the
+DiT does this for the cross-attention context, models/dit.py).
 """
 
 from __future__ import annotations
@@ -56,6 +63,25 @@ def _on_tpu() -> bool:
         return False
 
 
+def compact_context(
+    context: jax.Array, mask: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Stably permute real tokens to the front: any mask -> prefix form.
+
+    context (B, S, C); mask (B, S) bool, True = real token. Attention is
+    permutation-invariant over key/value pairs, so reordering the
+    cross-attention context is exact — it makes arbitrary masks safe for
+    the prefix-length Pallas kernel. Right-padded masks (every tokenizer
+    here) reduce to the identity permutation.
+    """
+    order = jnp.argsort(
+        jnp.logical_not(mask), axis=-1, stable=True
+    ).astype(jnp.int32)
+    context = jnp.take_along_axis(context, order[..., None], axis=1)
+    mask = jnp.take_along_axis(mask, order, axis=-1)
+    return context, mask
+
+
 def attention(
     q: jax.Array,
     k: jax.Array,
@@ -69,6 +95,9 @@ def attention(
 
     `use_pallas=None` auto-selects; True forces the kernel (errors off-TPU
     unless interpret mode is active); False forces the XLA path.
+
+    With `use_pallas`, `kv_mask` must be prefix-form (right-padded) — see
+    the module docstring and `compact_context`.
     """
     if use_pallas is None:
         use_pallas = _on_tpu()

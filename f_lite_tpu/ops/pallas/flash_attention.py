@@ -6,9 +6,11 @@ packing, sequences stay statically padded and padded *keys* are masked
 (SURVEY.md §7.1): identical math, XLA/Mosaic-friendly shapes.
 
 Masking model: per-batch *key prefix lengths* (scalar-prefetched to SMEM).
-Tokenizers right-pad, so every mask the pipeline produces is a prefix mask;
-`f_lite_tpu.ops.attention.attention` falls back to the XLA path for anything
-else.
+A boolean `kv_mask` is reduced to lengths, so it MUST be prefix-form
+(right-padded, True...False...) — tokenizers here right-pad, and the DiT
+canonicalizes arbitrary masks upstream with
+`f_lite_tpu.ops.attention.compact_context` (exact: attention is
+permutation-invariant over key/value pairs).
 
 Forward: grid (B, H, num_q_blocks, num_k_blocks), k innermost; online
 softmax in fp32 VMEM scratch, stats in (block_q, 128) lane-replicated tiles

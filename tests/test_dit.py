@@ -210,3 +210,41 @@ class TestGradients:
         g2 = jax.grad(loss(m2))(params)
         for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+class TestNonPrefixContextMask:
+    def test_holey_mask_equals_manual_compaction(self):
+        """DiT canonicalizes arbitrary context masks to prefix form
+        (ops/attention.compact_context) — a holey mask must match running
+        with the real tokens pre-compacted."""
+        import numpy as np
+
+        from f_lite_tpu.models.dit import DiT, DiTConfig
+
+        cfg = DiTConfig(
+            in_channels=16, patch_size=2, hidden_size=64, depth=2,
+            num_heads=4, mlp_ratio=2.0, cross_attn_input_size=32,
+            use_pallas_attention=False,
+        )
+        model = DiT(cfg)
+        params = model.init_params(jax.random.key(0), text_len=8,
+                                   image_size=16)
+        params = jax.tree.map(lambda p: p + 0.05, params)
+        rs = np.random.RandomState(3)
+        x = jnp.asarray(rs.randn(2, 16, 16, 16).astype(np.float32))
+        ctx = jnp.asarray(rs.randn(2, 8, 32).astype(np.float32))
+        t = jnp.full((2,), 0.5)
+        holey = jnp.asarray([
+            [True, False, True, True, False, False, True, False],
+            [False, True, True, False, True, True, True, True],
+        ])
+        out_holey = model.apply(params, x, ctx, holey, t)
+
+        from f_lite_tpu.ops.attention import compact_context
+
+        ctx2, mask2 = compact_context(ctx, holey)
+        out_prefix = model.apply(params, x, ctx2, mask2, t)
+        np.testing.assert_allclose(
+            np.asarray(out_holey), np.asarray(out_prefix),
+            atol=1e-6, rtol=1e-6,
+        )

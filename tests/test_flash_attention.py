@@ -153,3 +153,65 @@ class TestFlashBackward:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b_), atol=5e-4, rtol=5e-4
             )
+
+
+class TestCompactContext:
+    """Mask-contract enforcement (round-1 weak #4): arbitrary masks are
+    canonicalized to prefix form upstream; attention is permutation-
+    invariant over keys so the result is exact."""
+
+    def test_compact_makes_prefix(self):
+        from f_lite_tpu.ops.attention import compact_context
+
+        rs = np.random.RandomState(0)
+        ctx = jnp.asarray(rs.randn(3, 8, 16).astype(np.float32))
+        mask = jnp.asarray([
+            [True, False, True, False, True, True, False, False],
+            [False, False, False, True, True, False, False, True],
+            [True] * 8,
+        ])
+        c2, m2 = compact_context(ctx, mask)
+        m2 = np.asarray(m2)
+        lens = m2.sum(-1)
+        np.testing.assert_array_equal(lens, np.asarray(mask).sum(-1))
+        for b in range(3):
+            assert m2[b, : lens[b]].all() and not m2[b, lens[b]:].any()
+        # real tokens preserved in stable order
+        for b in range(3):
+            np.testing.assert_array_equal(
+                np.asarray(c2)[b, : lens[b]],
+                np.asarray(ctx)[b][np.asarray(mask)[b]],
+            )
+
+    def test_prefix_mask_is_identity(self):
+        from f_lite_tpu.ops.attention import compact_context
+
+        ctx = jnp.arange(2 * 6 * 4, dtype=jnp.float32).reshape(2, 6, 4)
+        mask = jnp.asarray([[True] * 4 + [False] * 2, [True] * 6])
+        c2, m2 = compact_context(ctx, mask)
+        np.testing.assert_array_equal(np.asarray(c2), np.asarray(ctx))
+        np.testing.assert_array_equal(np.asarray(m2), np.asarray(mask))
+
+    def test_pallas_with_compacted_mask_matches_xla_arbitrary(self):
+        """compact_context + prefix kernel == XLA with the raw holey mask."""
+        from f_lite_tpu.ops.attention import compact_context
+
+        b, h, lq, lk, d = 2, 2, 64, 24, 128
+        q, k_unused, v_unused = _qkv(b, h, lq, lk, d, seed=7)
+        rs = np.random.RandomState(7)
+        ctx = jnp.asarray(rs.randn(b, lk, h * d).astype(np.float32))
+        mask = jnp.asarray(rs.rand(b, lk) > 0.4)
+
+        def kv(c):
+            m = c.reshape(b, lk, h, d).transpose(0, 2, 1, 3)
+            return m, m * 0.5
+
+        k_raw, v_raw = kv(ctx)
+        want = attention_xla(q, k_raw, v_raw, kv_mask=mask)
+
+        c2, m2 = compact_context(ctx, mask)
+        k2, v2 = kv(c2)
+        got = fa(q, k2, v2, kv_mask=m2)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5
+        )
