@@ -10,8 +10,10 @@ Covers the reference's checkpoint surfaces:
 
 Layout contracts (must match models/dit.py and models/vae.py):
 - torch Linear weight (out, in) -> flax Dense kernel (in, out): transpose;
-- torch qkv fused weight is k-major over (3|2, heads, head_dim) — identical
-  to the jax reshape order, so no reordering beyond the transpose;
+- torch fused qkv / context_kv / q weights are (which, heads, head_dim)-
+  major on the output dim; the jax model keeps them HEAD-ALIGNED as
+  (in, *split, H, D) (models/dit.py HeadProj, so tensor parallelism can
+  shard the H axis) — transpose then a pure reshape, no reordering;
 - torch Conv2d weight (O, I, kh, kw) -> flax Conv kernel (kh, kw, I, O);
 - the patch embed Conv2d (D, C, p, p) becomes a matmul kernel (p*p*C, D)
   flattened in (ki, kj, c) patch order (see ops/patching.py docstring).
@@ -76,6 +78,85 @@ def _dense(sd, torch_name, *, transpose=True):
     return out
 
 
+def _pad_axis(a: np.ndarray, axis: int, to: int) -> np.ndarray:
+    if a.shape[axis] == to:
+        return a
+    pad = [(0, 0)] * a.ndim
+    pad[axis] = (0, to - a.shape[axis])
+    return np.pad(a, pad)
+
+
+def _head_dense(sd, torch_name, split, heads, head_dim, pad_to=None):
+    """Fused attention projection -> head-aligned (in, *split, H, D).
+
+    `pad_to`: zero-pad the head axis to this count (DiTConfig.padded_heads
+    — exact: zero q/k/v heads attend to zero values and their out-proj
+    rows are zero-padded in `_proj_padded`)."""
+    w = _t(sd[f"{torch_name}.weight"])  # (in, prod(split)*H*D)
+    kernel = w.reshape(w.shape[0], *split, heads, head_dim)
+    out = {}
+    if pad_to:
+        kernel = _pad_axis(kernel, kernel.ndim - 2, pad_to)
+    out["kernel"] = np.ascontiguousarray(kernel)
+    if f"{torch_name}.bias" in sd:
+        bias = sd[f"{torch_name}.bias"].reshape(*split, heads, head_dim)
+        if pad_to:
+            bias = _pad_axis(bias, bias.ndim - 2, pad_to)
+        out["bias"] = np.ascontiguousarray(bias)
+    return out
+
+
+def _proj_padded(sd, torch_name, heads, head_dim, pad_to=None):
+    """Attention out-proj (H*D, hidden): zero-pad input rows for padded
+    heads (row-major per head, so padding appends whole zero heads)."""
+    out = _dense(sd, torch_name)
+    if pad_to:
+        out["kernel"] = _pad_axis(out["kernel"], 0, pad_to * head_dim)
+    return out
+
+
+def pad_head_params(params: dict, head_dim: int, pad_to: int) -> dict:
+    """Zero-pad an already-converted flax DiT tree to `pad_to` heads.
+
+    Exact (see DiTConfig.padded_heads): pads the H axis (-2) of
+    qkv/q/context_kv kernels+biases and the input rows of the attention
+    out-projs. Handles both unrolled and scan-stacked (leading `layers`
+    axis) layouts — the padded axes are fixed distances from the end.
+    """
+    import jax.numpy as jnp
+
+    def pad(a, axis, to):
+        if a.shape[axis] == to:
+            return a
+        widths = [(0, 0)] * a.ndim
+        widths[axis] = (0, to - a.shape[axis])
+        return jnp.pad(a, widths)
+
+    def rec(node, parent=""):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for k, v in node.items():
+            if isinstance(v, dict) and k in ("qkv", "q", "context_kv"):
+                d = {**v, "kernel": pad(v["kernel"], -2, pad_to)}
+                if "bias" in v:
+                    d["bias"] = pad(v["bias"], -2, pad_to)
+                out[k] = d
+            elif (
+                isinstance(v, dict) and k == "proj"
+                and parent in ("self_attn", "cross_attn")
+            ):
+                out[k] = {
+                    **v,
+                    "kernel": pad(v["kernel"], -2, pad_to * head_dim),
+                }
+            else:
+                out[k] = rec(v, k)
+        return out
+
+    return rec(params)
+
+
 def convert_dit_state_dict(
     sd: Mapping[str, np.ndarray], config: DiTConfig
 ) -> dict:
@@ -108,14 +189,20 @@ def convert_dit_state_dict(
             "linear": _dense(sd, "adaLN_modulation.1")
         }
 
+    heads, head_dim = config.num_heads, config.head_dim
+    pad_to = (
+        config.compute_heads if config.compute_heads != heads else None
+    )
     for i in range(config.depth):
         b = f"blocks.{i}"
         blk: dict[str, Any] = {
             "norm1": {"weight": sd[f"{b}.norm1.weight"]},
             "norm3": {"weight": sd[f"{b}.norm3.weight"]},
             "self_attn": {
-                "qkv": _dense(sd, f"{b}.self_attn.qkv"),
-                "proj": _dense(sd, f"{b}.self_attn.proj"),
+                "qkv": _head_dense(sd, f"{b}.self_attn.qkv", (3,),
+                                   heads, head_dim, pad_to),
+                "proj": _proj_padded(sd, f"{b}.self_attn.proj",
+                                     heads, head_dim, pad_to),
             },
             "mlp": {
                 "gate_proj": _dense(sd, f"{b}.mlp.gate_proj"),
@@ -128,9 +215,12 @@ def convert_dit_state_dict(
         if f"{b}.norm2.weight" in sd:
             blk["norm2"] = {"weight": sd[f"{b}.norm2.weight"]}
             blk["cross_attn"] = {
-                "q": _dense(sd, f"{b}.cross_attn.q"),
-                "context_kv": _dense(sd, f"{b}.cross_attn.context_kv"),
-                "proj": _dense(sd, f"{b}.cross_attn.proj"),
+                "q": _head_dense(sd, f"{b}.cross_attn.q", (),
+                                 heads, head_dim, pad_to),
+                "context_kv": _head_dense(sd, f"{b}.cross_attn.context_kv",
+                                          (2,), heads, head_dim, pad_to),
+                "proj": _proj_padded(sd, f"{b}.cross_attn.proj",
+                                     heads, head_dim, pad_to),
             }
         p[f"blocks_{i}"] = blk
         # per-block AdaLN (v2: `model_v2.py:269-271`)

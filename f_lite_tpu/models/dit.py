@@ -38,7 +38,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from f_lite_tpu.ops.attention import attention
+from f_lite_tpu.ops.attention import attention, compact_context
 from f_lite_tpu.ops.norms import rms_norm
 from f_lite_tpu.ops.patching import patchify, unpatchify
 from f_lite_tpu.ops.rope import apply_rotary, rope_2d_freqs
@@ -49,6 +49,25 @@ EMBED = "embed"
 MLP = "mlp"
 HEADS_QKV = "qkv_out"
 CTX = "ctx"
+# activation logical axes
+ACT_BATCH = "act_batch"
+ACT_HEADS = "act_heads"
+ACT_MLP = "act_mlp"
+
+
+def _constrain(x, *axes):
+    """Megatron-style activation sharding hint. Inert (identity) unless the
+    caller traces inside `parallel.mesh.mesh_rules(mesh)` — single-chip and
+    rule-less paths are untouched; on a tp mesh it pins per-head/MLP
+    intermediates to the tp axis so XLA SPMD doesn't invent resharding
+    permutes (observed on unconstrained tp compiles)."""
+    from f_lite_tpu.parallel.mesh import active_mesh_rules
+
+    active = active_mesh_rules()
+    if active is None:
+        return x
+    mesh, rules = active
+    return nn.with_logical_constraint(x, axes, rules=rules, mesh=mesh)
 
 
 class QuantDense(nn.Module):
@@ -91,6 +110,80 @@ class QuantDense(nn.Module):
             )
             y = y + bias.astype(y.dtype)
         return y
+
+
+class HeadProj(nn.Module):
+    """Head-aligned q/kv projection: kernel (in, *split, H, D).
+
+    The flat fused-qkv layout (in, 3*H*D) cannot shard heads with a plain
+    PartitionSpec — its output dim is (which, head, dim)-major, so an
+    8-way slice of the flat dim puts e.g. q-of-heads-0..2 on device 0 and
+    XLA must re-gather the whole activation to split heads (observed: one
+    (B, L, 3*hidden) all-gather per block on tp meshes). Keeping the
+    kernel in (in, *split, H, D) form and sharding the H axis ("qkv_out"
+    -> tp) makes the projection column-parallel per head: attention stays
+    local to each tp shard, zero collectives until the out-proj.
+    Weight conversion is a pure reshape of the torch fused weight
+    (convert/torch_to_jax.py), so checkpoint compatibility is unchanged.
+    """
+
+    config: DiTConfig
+    split: tuple  # () for q, (3,) for fused qkv, (2,) for context_kv
+    use_bias: bool
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.config
+        h, d = cfg.compute_heads, cfg.head_dim
+        shape = (x.shape[-1], *self.split, h, d)
+        axes = ("embed", *(None,) * len(self.split), "qkv_out", None)
+        out_dims = tuple(range(1, len(shape)))
+        dims = (((x.ndim - 1,), (0,)), ((), ()))
+        if cfg.quantized:
+            from f_lite_tpu.quant import quant_matmul
+
+            w8 = self.param(
+                "w8",
+                nn.with_logical_partitioning(
+                    lambda key, s, dtype=jnp.int8: jnp.zeros(s, dtype),
+                    axes,
+                ),
+                shape, jnp.int8,
+            )
+            scale = self.param(
+                "scale",
+                nn.with_logical_partitioning(
+                    nn.initializers.ones, axes[1:]
+                ),
+                shape[1:], jnp.float32,
+            )
+            y = quant_matmul(x, w8, scale)
+        else:
+            kernel = self.param(
+                "kernel",
+                nn.with_logical_partitioning(
+                    nn.initializers.variance_scaling(
+                        1.0, "fan_in", "truncated_normal",
+                        in_axis=0, out_axis=out_dims,
+                    ),
+                    axes,
+                ),
+                shape, cfg.param_dtype,
+            )
+            y = jax.lax.dot_general(
+                x, kernel.astype(cfg.dtype), dims,
+                preferred_element_type=cfg.dtype,
+            )
+        if self.use_bias:
+            bias = self.param(
+                "bias",
+                nn.with_logical_partitioning(
+                    nn.initializers.zeros, axes[1:]
+                ),
+                shape[1:], cfg.param_dtype,
+            )
+            y = y + bias.astype(y.dtype)
+        return y  # (B, L, *split, H, D)
 
 
 def _dense(features, *, use_bias, name, kernel_axes, dtype, param_dtype,
@@ -149,6 +242,14 @@ class DiTConfig:
     cross_attn_all: bool = False  # v2: every block (`model_v2.py:468`)
     n_register_tokens: int = 16
     pos_embed_max_len: int = 2048  # only when use_rope=False
+    # Serving-time head padding: compute attention with this many heads
+    # (>= num_heads) so tensor-parallel degrees that don't divide
+    # num_heads (7B: 10 heads, 10B: 12 — neither divides a v5e-8) still
+    # shard evenly. EXACT for converted checkpoints: padded q/k/v heads
+    # are all-zero, a zero head's attention output is zero (uniform
+    # softmax over zero values), and its out-proj rows are zero — see
+    # convert/torch_to_jax.py. head_dim stays hidden_size // num_heads.
+    padded_heads: int | None = None
     scan_layers: bool = False  # lax.scan over layer stacks (see __call__)
     quantized: bool = False  # int8 weight-only projections (inference)
     gradient_checkpoint: bool = False
@@ -160,6 +261,16 @@ class DiTConfig:
     @property
     def head_dim(self) -> int:
         return self.hidden_size // self.num_heads
+
+    @property
+    def compute_heads(self) -> int:
+        """Heads the kernels/attention actually compute with (see
+        `padded_heads`)."""
+        if self.padded_heads is not None:
+            if self.padded_heads < self.num_heads:
+                raise ValueError("padded_heads must be >= num_heads")
+            return self.padded_heads
+        return self.num_heads
 
     def block_has_cross_attn(self, idx: int) -> bool:
         if self.cross_attn_all:
@@ -197,19 +308,18 @@ class Attention(nn.Module):
     def __call__(self, x, *, context=None, context_mask=None, rope=None,
                  v_first=None, mix=None):
         cfg = self.config
-        h, d = cfg.num_heads, cfg.head_dim
+        h, d = cfg.compute_heads, cfg.head_dim
         qkv_bias = cfg.train_bias_and_rms
 
         if self.is_self_attn:
-            qkv = _dense(
-                3 * cfg.hidden_size, use_bias=qkv_bias, name="qkv",
-                kernel_axes=(EMBED, HEADS_QKV),
-                dtype=cfg.dtype, param_dtype=cfg.param_dtype,
-                quant=cfg.quantized,
-            )(x)
+            qkv = HeadProj(cfg, split=(3,), use_bias=qkv_bias,
+                           name="qkv")(x)  # (B, L, 3, H, D)
             b, l = qkv.shape[:2]
-            qkv = qkv.reshape(b, l, 3, h, d).transpose(2, 0, 3, 1, 4)
+            qkv = qkv.transpose(2, 0, 3, 1, 4)
             q, k, v = qkv[0], qkv[1], qkv[2]  # (B, H, L, D)
+            q = _constrain(q, ACT_BATCH, ACT_HEADS, None, None)
+            k = _constrain(k, ACT_BATCH, ACT_HEADS, None, None)
+            v = _constrain(v, ACT_BATCH, ACT_HEADS, None, None)
             if rope is not None:
                 cos, sin = rope
                 q = apply_rotary(q, cos, sin)
@@ -220,23 +330,18 @@ class Attention(nn.Module):
                     k = k * jnp.asarray(ratio, k.dtype)
             kv_mask = None
         else:
-            q = _dense(
-                cfg.hidden_size, use_bias=qkv_bias, name="q",
-                kernel_axes=(EMBED, HEADS_QKV),
-                dtype=cfg.dtype, param_dtype=cfg.param_dtype,
-                quant=cfg.quantized,
-            )(x)
-            kv = _dense(
-                2 * cfg.hidden_size, use_bias=qkv_bias, name="context_kv",
-                kernel_axes=(EMBED, HEADS_QKV),
-                dtype=cfg.dtype, param_dtype=cfg.param_dtype,
-                quant=cfg.quantized,
-            )(context)
+            q = HeadProj(cfg, split=(), use_bias=qkv_bias,
+                         name="q")(x)  # (B, Lq, H, D)
+            kv = HeadProj(cfg, split=(2,), use_bias=qkv_bias,
+                          name="context_kv")(context)  # (B, Lk, 2, H, D)
             b, lq = q.shape[:2]
             lk = kv.shape[1]
-            q = q.reshape(b, lq, h, d).transpose(0, 2, 1, 3)
-            kv = kv.reshape(b, lk, 2, h, d).transpose(2, 0, 3, 1, 4)
+            q = q.transpose(0, 2, 1, 3)
+            kv = kv.transpose(2, 0, 3, 1, 4)
             k, v = kv[0], kv[1]
+            q = _constrain(q, ACT_BATCH, ACT_HEADS, None, None)
+            k = _constrain(k, ACT_BATCH, ACT_HEADS, None, None)
+            v = _constrain(v, ACT_BATCH, ACT_HEADS, None, None)
             kv_mask = context_mask
 
         # Value residual (released models): mix this block's V with block 0's
@@ -283,12 +388,14 @@ class Attention(nn.Module):
             use_pallas=cfg.use_pallas_attention,
         )
         out = out.transpose(0, 2, 1, 3).reshape(b, -1, h * d)
+        out = _constrain(out, ACT_BATCH, None, ACT_HEADS)
         out = _dense(
             cfg.hidden_size, use_bias=False, name="proj",
             kernel_axes=(HEADS_QKV, EMBED),
             dtype=cfg.dtype, param_dtype=cfg.param_dtype,
             quant=cfg.quantized,
         )(out)
+        out = _constrain(out, ACT_BATCH, None, None)
         if self.is_self_attn and cfg.residual_v:
             return out, v_first_out
         return out
@@ -314,11 +421,15 @@ class SwiGLUMLP(nn.Module):
             kernel_axes=(EMBED, MLP), dtype=cfg.dtype,
             param_dtype=cfg.param_dtype, quant=cfg.quantized,
         )(x)
-        return _dense(
+        inter_act = _constrain(
+            nn.silu(gate) * up, ACT_BATCH, None, ACT_MLP
+        )
+        out = _dense(
             cfg.hidden_size, use_bias=False, name="down_proj",
             kernel_axes=(MLP, EMBED), dtype=cfg.dtype,
             param_dtype=cfg.param_dtype, quant=cfg.quantized,
-        )(nn.silu(gate) * up)
+        )(inter_act)
+        return _constrain(out, ACT_BATCH, None, None)
 
 
 class RMSNormModule(nn.Module):
@@ -358,6 +469,10 @@ class DiTBlock(nn.Module):
         (shift_sa, scale_sa, gate_sa, shift_ca, scale_ca, gate_ca,
          shift_mlp, scale_mlp, gate_mlp) = (mod(i) for i in range(9))
 
+        # residual stream replicated over tp (Megatron layout): norms stay
+        # local and column-parallel matmul inputs need no gather
+        x = _constrain(x, ACT_BATCH, None, None)
+
         norm_x = RMSNormModule(cfg.hidden_size, cfg.param_dtype, name="norm1")(x)
         norm_x = norm_x * (1 + scale_sa) + shift_sa
         sa = Attention(cfg, is_self_attn=True, name="self_attn")(
@@ -383,7 +498,10 @@ class DiTBlock(nn.Module):
         norm_x = norm_x * (1 + scale_mlp) + shift_mlp
         x = x + SwiGLUMLP(cfg, name="mlp")(norm_x) * gate_mlp
 
-        return x, v_first
+        # keep the scan carry replicated too (the residual adds above are
+        # outside the branch constraints; an unconstrained carry lets XLA
+        # shard the loop state and re-gather every iteration)
+        return _constrain(x, ACT_BATCH, None, None), v_first
 
 
 class ScanUnit(nn.Module):
@@ -395,9 +513,9 @@ class ScanUnit(nn.Module):
     XLA compiles, identical math (verified against the unrolled layout).
     v1's heterogeneous pattern decomposes into two scans: first_n single
     cross blocks, then (depth-first_n)/period groups of period blocks.
-    Not supported with residual_v (the released-checkpoint inference path
-    stays unrolled; the reference's own trainer cannot build residual_v
-    models either — `train.py:673-703` passes no such flag).
+    residual_v works under scan via the traced `mix` selector: every block
+    owns a lambda_v (block 0's is inert) and Attention picks the
+    first-block behavior at runtime (see Attention.__call__).
     """
 
     config: DiTConfig
@@ -519,6 +637,12 @@ class DiT(nn.Module):
         b, height, width, c = x.shape
         gh, gw = height // cfg.patch_size, width // cfg.patch_size
 
+        # Canonicalize the context mask to prefix form (exact — attention
+        # is permutation-invariant over keys), so the prefix-length Pallas
+        # kernel is correct for ANY mask, not just right-padded ones.
+        if context_mask is not None:
+            context, context_mask = compact_context(context, context_mask)
+
         # Context projection + RMS norm (`model.py:527-528`).
         context = _dense(
             cfg.hidden_size, use_bias=True, name="context_proj",
@@ -554,6 +678,9 @@ class DiT(nn.Module):
              tokens],
             axis=1,
         )
+        # replicated residual stream from the start (scan carries inherit
+        # their entry sharding; see DiTBlock)
+        tokens = _constrain(tokens, ACT_BATCH, None, None)
 
         if cfg.use_rope:
             rope = rope_2d_freqs(
@@ -612,7 +739,7 @@ class DiT(nn.Module):
                 # v_first carried through the scan; block 0 selected by the
                 # traced `mix` flag (see Attention)
                 v_first = jnp.zeros(
-                    (b, cfg.num_heads, tokens.shape[1], cfg.head_dim),
+                    (b, cfg.compute_heads, tokens.shape[1], cfg.head_dim),
                     cfg.dtype,
                 )
             else:
@@ -677,8 +804,12 @@ class DiT(nn.Module):
                 )(tokens, context, context_mask, block_mod, rope, v_first)
 
         # Drop registers; final modulation + zero-init proj (`model.py:575-581`).
+        tokens = _constrain(tokens, ACT_BATCH, None, None)
         tokens = tokens[:, cfg.n_register_tokens :, :]
         final_mod = AdaLNHead(cfg, 2, name="final_modulation")(t_emb)
+        # modulation is tiny (B, 2, h): gather it replicated here rather
+        # than letting its tp-sharded head re-shard the final norm/proj
+        final_mod = _constrain(final_mod, ACT_BATCH, None, None)
         final_shift = final_mod[:, 0][:, None, :].astype(cfg.dtype)
         final_scale = final_mod[:, 1][:, None, :].astype(cfg.dtype)
 

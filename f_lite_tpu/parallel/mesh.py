@@ -23,6 +23,8 @@ QKV_OUT / CTX); LOGICAL_RULES maps them onto mesh axes.
 
 from __future__ import annotations
 
+import contextvars
+
 import jax
 import numpy as np
 from jax.sharding import Mesh
@@ -36,7 +38,55 @@ LOGICAL_RULES = (
     ("ctx", None),         # context input dim: replicated
     ("batch", ("dp", "fsdp")),  # data-parallel batch sharding
     ("act_embed", None),
+    # activation axes (see models/dit.py _constrain): explicit
+    # Megatron-style intermediate shardings so XLA SPMD doesn't invent
+    # its own activation decomposition (which produced resharding
+    # collective-permutes + involuntary rematerialization on tp meshes)
+    ("act_batch", ("dp", "fsdp")),
+    ("act_heads", "tp"),   # per-head activations (attention local per tp)
+    ("act_mlp", "tp"),     # gate/up intermediate
 )
+
+
+_ACTIVE_MESH_RULES: contextvars.ContextVar = contextvars.ContextVar(
+    "f_lite_tpu_mesh_rules", default=None
+)
+
+
+def mesh_rules(mesh: Mesh, rules=LOGICAL_RULES):
+    """Context manager activating `mesh` + logical-axis rules for tracing.
+
+    Wrap jit *tracing/lowering* call sites (train-step build, TP serving,
+    AOT compile checks) so the model's activation sharding annotations
+    (models/dit.py `_constrain`) resolve against this mesh. Outside this
+    context the annotations are inert (identity), which keeps single-chip
+    paths unchanged. jax 0.9 dropped the implicit thread-resources mesh
+    flax used to read, so the mesh is threaded explicitly via a
+    contextvar and passed to `nn.with_logical_constraint(mesh=...)`.
+    """
+    import contextlib
+
+    @contextlib.contextmanager
+    def _ctx():
+        token = _ACTIVE_MESH_RULES.set((mesh, tuple(rules)))
+        try:
+            yield
+        finally:
+            _ACTIVE_MESH_RULES.reset(token)
+
+    return _ctx()
+
+
+def active_mesh_rules():
+    """(mesh, rules) from the innermost `mesh_rules`, or None."""
+    return _ACTIVE_MESH_RULES.get()
+
+
+def use_mesh_rules(mesh: Mesh, rules=LOGICAL_RULES) -> None:
+    """Sticky (non-context) variant of `mesh_rules` for long-lived loops
+    (trainer, serving): activates the mesh for every later trace in this
+    context until replaced."""
+    _ACTIVE_MESH_RULES.set((mesh, tuple(rules)))
 
 
 def create_mesh(

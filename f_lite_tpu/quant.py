@@ -27,22 +27,31 @@ QUANT_TARGETS = frozenset(
     {"qkv", "proj", "q", "context_kv", "gate_proj", "up_proj", "down_proj"}
 )
 
+# head-aligned projections (models/dit.py HeadProj): kernel
+# (in, *split, H, D) — number of output dims after the contraction axis
+_N_OUT_DIMS = {"qkv": 3, "context_kv": 3, "q": 2}
 
-def quantize_kernel(kernel) -> dict:
-    """(..., K, N) float -> {'w8': int8, 'scale': (..., N) f32} per-column."""
+
+def quantize_kernel(kernel, n_out_dims: int = 1) -> dict:
+    """(..., K, *out) float -> {'w8': int8, 'scale': (..., *out) f32}.
+
+    Per-output-channel symmetric scales; the contraction axis K sits
+    `n_out_dims` from the end (1 for plain (K, N) kernels, more for the
+    head-aligned (K, *split, H, D) layout). Leading dims (scan `layers`
+    stacking) pass through.
+    """
     k = jnp.asarray(kernel, jnp.float32)
-    amax = jnp.max(jnp.abs(k), axis=-2, keepdims=True)  # (..., 1, N)
+    axis = k.ndim - 1 - n_out_dims
+    amax = jnp.max(jnp.abs(k), axis=axis, keepdims=True)
     scale = jnp.where(amax == 0, 1.0, amax / 127.0)
     w8 = jnp.clip(jnp.round(k / scale), -127, 127).astype(jnp.int8)
-    return {"w8": w8, "scale": scale.squeeze(-2)}
+    return {"w8": w8, "scale": jnp.squeeze(scale, axis)}
 
 
 def quant_matmul(x, w8, scale):
-    """x (..., K) bf16 -> (..., N) in x.dtype; dynamic per-token act quant.
-
-    Works for stacked (scan-layers) weights too: w8 (K, N) expected — the
-    scan machinery slices the leading layer axis before the call.
-    """
+    """x (..., K) bf16 -> (..., *out) in x.dtype; dynamic per-token act
+    quant. w8 (K, *out) — the scan machinery slices any leading layer axis
+    before the call; scale (*out,)."""
     out_dtype = x.dtype
     xf = x.astype(jnp.float32)
     sx = jnp.max(jnp.abs(xf), axis=-1, keepdims=True) / 127.0
@@ -53,6 +62,8 @@ def quant_matmul(x, w8, scale):
         (((x8.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
+    # sx (..., 1) must broadcast over all of w8's output dims
+    sx = sx.reshape(sx.shape[:-1] + (1,) * (w8.ndim - 1))
     return (y.astype(jnp.float32) * sx * scale).astype(out_dtype)
 
 
@@ -68,7 +79,9 @@ def quantize_dit_params(params: dict) -> dict:
             ):
                 out = dict(node)
                 kernel = out.pop("kernel")
-                out.update(quantize_kernel(kernel))
+                out.update(
+                    quantize_kernel(kernel, _N_OUT_DIMS.get(name, 1))
+                )
                 return out
             return {k: rec(v, k) for k, v in node.items()}
         return node
@@ -79,19 +92,21 @@ def quantize_dit_params(params: dict) -> dict:
 def dequantize_dit_params(params: dict, dtype=jnp.bfloat16) -> dict:
     """Inverse (lossy) transform, for debugging/comparison."""
 
-    def rec(node):
+    def rec(node, name=""):
         if isinstance(node, dict):
             if "w8" in node and "scale" in node:
                 out = {
                     k: v for k, v in node.items()
                     if k not in ("w8", "scale")
                 }
+                w8, scale = node["w8"], node["scale"]
+                axis = w8.ndim - 1 - _N_OUT_DIMS.get(name, 1)
                 out["kernel"] = (
-                    node["w8"].astype(jnp.float32)
-                    * node["scale"][..., None, :]
+                    w8.astype(jnp.float32)
+                    * jnp.expand_dims(scale, axis)
                 ).astype(dtype)
                 return out
-            return {k: rec(v) for k, v in node.items()}
+            return {k: rec(v, k) for k, v in node.items()}
         return node
 
     return rec(params)

@@ -28,7 +28,9 @@ def parse_args(argv=None):
     p.add_argument("--model", required=True)
     p.add_argument("--prompts", required=True,
                    help="text file, one prompt per line")
-    p.add_argument("--batch_size", type=int, default=4)
+    # batch 1 is the optimal single-chip config (PERF.md: batch-1 already
+    # saturates the MXU at 7B/1024px; batching pays off across chips)
+    p.add_argument("--batch_size", type=int, default=1)
     p.add_argument("--width", type=int, default=1024)
     p.add_argument("--height", type=int, default=1024)
     p.add_argument("--steps", type=int, default=30)
@@ -44,7 +46,9 @@ def parse_args(argv=None):
                    help="int8 weight-only DiT projections (~1.7x matmuls)")
     p.add_argument("--steps_per_dispatch", type=int, default=None,
                    help="split the denoise trajectory into dispatches of "
-                        "at most N steps (avoids long-dispatch watchdogs)")
+                        "at most N steps; default auto-bounds dispatch "
+                        "wall time (long-dispatch watchdogs), 0 forces a "
+                        "single dispatch")
     return p.parse_args(argv)
 
 
@@ -64,10 +68,25 @@ def main(argv=None):
     if not prompts:
         raise SystemExit(f"no prompts in {args.prompts}")
 
+    pad_heads_to = None
+    if args.tp > 1:
+        # tp must divide the attention head count; if it doesn't (7B: 10
+        # heads, 10B: 12 on a v5e-8), zero-pad heads to the next multiple
+        # — exact, see DiTConfig.padded_heads
+        dit_cfg = json.loads(
+            (Path(args.model) / "dit" / "config.json").read_text()
+        )
+        heads = dit_cfg.get("num_heads", 12)
+        if heads % args.tp:
+            pad_heads_to = -(-heads // args.tp) * args.tp
+            logger.info("padding %d heads -> %d for tp=%d",
+                        heads, pad_heads_to, args.tp)
+
     pipe = FLitePipeline.from_pretrained(
         args.model,
         load_text_encoder=not (args.precomputed_dir or args.no_text_encoder),
         quantize=args.quantize,
+        pad_heads_to=pad_heads_to,
     )
     if args.precomputed_dir:
         from f_lite_tpu.text.encoder import PrecomputedTextEncoder
@@ -93,6 +112,11 @@ def main(argv=None):
 
         shardings = infer_param_shardings(boxed_init, mesh)
         pipe.dit_params = shard_params(pipe.dit_params, shardings)
+        # engage the model's activation sharding annotations for every
+        # denoise trace below (clean Megatron collective schedule)
+        from f_lite_tpu.parallel.mesh import use_mesh_rules
+
+        use_mesh_rules(mesh)
         logger.info("sharded DiT tensor-parallel over %d chips", args.tp)
 
     out_dir = Path(args.output_dir)

@@ -42,11 +42,29 @@ def init_lora_params(
     tree = params.get("params", params)
     lora: dict[str, Any] = {}
     keys = {}
+    stacked = []
     for path, kernel in _iter_kernels(tree):
-        if path[-1] in targets and kernel.ndim == 2:
-            keys[path] = kernel.shape
+        if path[-1] in targets:
+            # scan_layers stacks per-block params under blocks_front /
+            # blocks_rest / blocks_all with a leading `layers` axis —
+            # LoRA factors attach to unrolled kernels only
+            if path[0] in ("blocks_front", "blocks_rest", "blocks_all"):
+                stacked.append(path)
+            else:
+                # kernel (in, *out_dims): head-aligned attention kernels
+                # (models/dit.py HeadProj) are (in, [3|2,] H, D)
+                keys[path] = kernel.shape
+    if stacked and not keys:
+        raise ValueError(
+            "LoRA found only stacked (scan_layers) kernels, e.g. "
+            f"{'/'.join(stacked[0])} — LoRA requires the unrolled layout; "
+            "drop --scan_layers for LoRA training (otherwise the factor "
+            "tree would be empty and training would silently optimize "
+            "nothing)."
+        )
     rngs = jax.random.split(rng, max(len(keys), 1))
-    for i, (path, (d_in, d_out)) in enumerate(sorted(keys.items())):
+    for i, (path, shape) in enumerate(sorted(keys.items())):
+        d_in, d_out = shape[0], int(np.prod(shape[1:]))
         node = lora
         for p in path[:-1]:
             node = node.setdefault(p, {})
@@ -73,6 +91,9 @@ def apply_lora(params: dict, lora: dict, *, alpha: float = 64.0,
                     delta = (
                         l_sub["lora_a"] @ l_sub["lora_b"]
                     ).astype(v["kernel"].dtype)
+                    # head-aligned kernels are (in, *out): fold the flat
+                    # low-rank delta back to the kernel's shape
+                    delta = delta.reshape(v["kernel"].shape)
                     out[k] = {**v, "kernel": v["kernel"] + factor * delta}
                 elif l_sub is not None:
                     out[k] = merge(v, l_sub)

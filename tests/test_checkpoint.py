@@ -157,3 +157,31 @@ class TestLoRA:
         loaded = {"params": load_lora_weights(tmp_path)}
         for a, b in zip(jax.tree.leaves(lora), jax.tree.leaves(loaded)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+class TestLoRAScanGuard:
+    def test_stacked_kernels_raise(self):
+        """LoRA over scan_layers params must raise, not silently train
+        nothing (round-1 weak #7)."""
+        from f_lite_tpu.models.dit import DiT, DiTConfig
+
+        cfg = DiTConfig(
+            in_channels=16, patch_size=2, hidden_size=64, depth=8,
+            num_heads=4, mlp_ratio=2.0, cross_attn_input_size=32,
+            scan_layers=True, use_pallas_attention=False,
+        )
+        params = DiT(cfg).init_params(
+            jax.random.key(0), text_len=8, image_size=16
+        )
+        with pytest.raises(ValueError, match="scan_layers"):
+            _ilp(jax.random.key(1), params, rank=4)
+
+    def test_trainer_flag_combination_raises(self):
+        from f_lite_tpu.train.trainer import parse_args, train
+
+        args = parse_args([
+            "--train_data_path", "x", "--output_dir", "/tmp/na",
+            "--use_lora", "--scan_layers",
+        ])
+        with pytest.raises(SystemExit, match="scan_layers"):
+            train(args)

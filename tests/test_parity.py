@@ -124,3 +124,80 @@ class TestConversionDetails:
         assert conv_paths == init_paths, (
             init_paths - conv_paths, conv_paths - init_paths
         )
+
+
+class TestPaddedHeads:
+    """DiTConfig.padded_heads must be EXACT: zero q/k/v heads produce zero
+    attention outputs through zero out-proj rows (the tp-divisibility
+    workaround for 7B's 10 / 10B's 12 heads on an 8-chip mesh)."""
+
+    def test_padded_equals_unpadded(self):
+        import dataclasses
+
+        cfg = DiTConfig(**BASE)
+        sd = make_random_state_dict(cfg, seed=7)
+        rs = np.random.RandomState(8)
+        b, hw, s = 2, 16, 8
+        x = rs.randn(b, cfg.in_channels, hw, hw).astype(np.float32)
+        ctx = rs.randn(b, s, cfg.cross_attn_input_size).astype(np.float32)
+        t = rs.rand(b).astype(np.float32)
+        mask = np.arange(s)[None, :] < np.asarray([8, 5])[:, None]
+
+        def run(c):
+            params = convert_dit_state_dict(
+                {k: v.numpy() for k, v in sd.items()}, c
+            )
+            return np.asarray(DiT(c).apply(
+                jax.tree.map(jnp.asarray, params),
+                jnp.asarray(x.transpose(0, 2, 3, 1)),
+                jnp.asarray(ctx), jnp.asarray(mask), jnp.asarray(t),
+            ))
+
+        base = run(cfg)
+        padded = run(dataclasses.replace(cfg, padded_heads=6))
+        np.testing.assert_allclose(padded, base, atol=1e-6, rtol=1e-6)
+
+    def test_load_time_padding_matches_convert_time(self):
+        import dataclasses
+
+        from f_lite_tpu.convert.torch_to_jax import pad_head_params
+
+        cfg = DiTConfig(**BASE)
+        pcfg = dataclasses.replace(cfg, padded_heads=6)
+        sd = {k: v.numpy() for k, v in
+              make_random_state_dict(cfg, seed=9).items()}
+        at_convert = convert_dit_state_dict(sd, pcfg)
+        at_load = pad_head_params(
+            convert_dit_state_dict(sd, cfg), cfg.head_dim, 6
+        )
+        for a, b in zip(
+            jax.tree.leaves(at_convert), jax.tree.leaves(at_load)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_scan_layout_padded(self):
+        import dataclasses
+
+        cfg = DiTConfig(**{**BASE, "depth": 12})
+        sd = make_random_state_dict(cfg, seed=10)
+        rs = np.random.RandomState(11)
+        x = rs.randn(1, cfg.in_channels, 16, 16).astype(np.float32)
+        ctx = rs.randn(1, 8, cfg.cross_attn_input_size).astype(np.float32)
+        t = rs.rand(1).astype(np.float32)
+        mask = np.ones((1, 8), bool)
+
+        def run(c):
+            params = convert_dit_state_dict(
+                {k: v.numpy() for k, v in sd.items()}, c
+            )
+            return np.asarray(DiT(c).apply(
+                jax.tree.map(jnp.asarray, params),
+                jnp.asarray(x.transpose(0, 2, 3, 1)),
+                jnp.asarray(ctx), jnp.asarray(mask), jnp.asarray(t),
+            ))
+
+        base = run(cfg)
+        padded_scan = run(dataclasses.replace(
+            cfg, padded_heads=8, scan_layers=True
+        ))
+        np.testing.assert_allclose(padded_scan, base, atol=1e-6, rtol=1e-6)

@@ -109,9 +109,10 @@ class TestModelQuant:
                                    image_size=16)
         qcfg = DiTConfig(**{**dataclasses.asdict(cfg), "quantized": True})
         qparams = quantize_dit_params(params)
-        # stacked kernels quantize per (layer, column)
+        # stacked head-aligned kernels: (layers, in, 3, H, D), quantized
+        # per (layer, output-channel) — scale drops the contraction axis
         blk = qparams["params"]["blocks_front"]["blk_0"]["self_attn"]["qkv"]
-        assert blk["w8"].ndim == 3 and blk["w8"].dtype == jnp.int8
+        assert blk["w8"].ndim == 5 and blk["w8"].dtype == jnp.int8
         assert blk["scale"].shape == blk["w8"].shape[:1] + blk["w8"].shape[2:]
         out = DiT(qcfg).apply(
             qparams,

@@ -157,7 +157,9 @@ class TestScanSharding:
             "kernel"]
         from jax.sharding import PartitionSpec as P
 
-        assert qkv.spec == P(None, "fsdp", "tp")  # layers axis replicated
+        # layers axis replicated; head-aligned kernel (L, in, 3, H, D)
+        # shards in-dim over fsdp and the HEAD axis over tp
+        assert qkv.spec == P(None, "fsdp", None, "tp", None)
         params = shard_params(nn.meta.unbox(init_fn()), sh)
         x = jax.device_put(
             jax.random.normal(jax.random.key(1), (2, 16, 16, 16)),

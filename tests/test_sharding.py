@@ -53,8 +53,9 @@ class TestParamSharding:
         mesh = create_mesh(dp=1, fsdp=8, tp=1)
         model, init_fn = _init_boxed(CFG)
         sh = infer_param_shardings(init_fn, mesh)
+        # head-aligned qkv kernel (in, 3, H, D): in-dim on fsdp, H on tp
         qkv = sh["params"]["blocks_0"]["self_attn"]["qkv"]["kernel"]
-        assert qkv.spec == P("fsdp", "tp")
+        assert qkv.spec == P("fsdp", None, "tp", None)
         reg = sh["params"]["register_tokens"]
         assert reg.spec == P(None, None, "fsdp")
 
@@ -62,9 +63,9 @@ class TestParamSharding:
         mesh = create_mesh(dp=1, fsdp=2, tp=4)
         model, init_fn = _init_boxed(CFG)
         sh = infer_param_shardings(init_fn, mesh)
-        # column-parallel qkv, row-parallel proj
+        # column-parallel qkv (per head), row-parallel proj
         assert sh["params"]["blocks_0"]["self_attn"]["qkv"]["kernel"].spec \
-            == P("fsdp", "tp")
+            == P("fsdp", None, "tp", None)
         assert sh["params"]["blocks_0"]["self_attn"]["proj"]["kernel"].spec \
             == P("tp", "fsdp")
         assert sh["params"]["blocks_0"]["mlp"]["down_proj"]["kernel"].spec \
