@@ -108,21 +108,29 @@ def _fa_fwd_kernel(
     m_scratch[:] = m_next
     l_scratch[:] = l_next
 
-    l_next_inv_safe = jnp.where(l_next == 0.0, 1.0, 1.0 / l_next)
+    # deferred normalization: keep the accumulator UN-normalized (classic
+    # flash) and divide by l once at finalize — saves one (bq, d)
+    # elementwise multiply and a (bq, 128) reciprocal per k tile vs the
+    # always-normalized scheme. No overflow risk: |acc| <= l * max|v| and
+    # l <= L in fp32.
     d_repeats = acc_scratch.shape[-1] // _LANES
-    acc_scratch[:] *= jnp.tile(l_corr * l_next_inv_safe, (1, d_repeats))
+    acc_scratch[:] *= jnp.tile(alpha, (1, d_repeats))
     v = v_ref[0, 0]  # (bk, d)
     o_curr = jax.lax.dot_general(
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    acc_scratch[:] += o_curr * jnp.tile(l_next_inv_safe, (1, d_repeats))
+    acc_scratch[:] += o_curr
 
     @pl.when(ki == num_k_blocks - 1)
     def _finalize():
-        o_ref[0, 0] = acc_scratch[:].astype(o_ref.dtype)
+        l = l_scratch[:]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        o_ref[0, 0] = (
+            acc_scratch[:] * jnp.tile(l_inv, (1, d_repeats))
+        ).astype(o_ref.dtype)
         if save_lse:
-            safe_l = jnp.where(l_scratch[:] == 0.0, 1.0, l_scratch[:])
+            safe_l = jnp.where(l == 0.0, 1.0, l)
             lse_ref[0, 0] = m_scratch[:] + jnp.log(safe_l)
 
 
@@ -454,8 +462,8 @@ def flash_attention(
     kv_mask: jax.Array | None = None,
     kv_lens: jax.Array | None = None,
     scale: float | None = None,
-    block_q: int = 256,
-    block_k: int = 512,
+    block_q: int = 512,
+    block_k: int = 256,
     interpret: bool = False,
 ) -> jax.Array:
     """Flash attention. q (B,H,Lq,D); k,v (B,H,Lk,D).

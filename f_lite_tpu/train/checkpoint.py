@@ -57,9 +57,14 @@ class Checkpointer:
         sampler_state: dict | None = None,
         *,
         wait: bool = True,
+        extra: dict | None = None,
     ):
+        """`extra`: additional named pytrees saved alongside the state
+        (e.g. {"ema": ema_params})."""
         d = self._dir(step)
         self._ckptr.save(d / "state", state, force=True)
+        for name, tree in (extra or {}).items():
+            self._ckptr.save(d / name, tree, force=True)
         if wait:
             self._ckptr.wait_until_finished()
         if sampler_state is not None:
@@ -80,6 +85,17 @@ class Checkpointer:
         return self._ckptr.restore(
             self._dir(int(step)) / "state", abstract_state
         )
+
+    def load_extra(self, step: int | str, name: str, abstract: Any):
+        """Restore an `extra` tree saved by `save`; None if absent."""
+        if step == "latest":
+            step = self.last_training_time
+            if step is None:
+                return None
+        p = self._dir(int(step)) / name
+        if not p.exists():
+            return None
+        return self._ckptr.restore(p, abstract)
 
     def load_sampler_state(self, step: int | str) -> dict | None:
         if step == "latest":

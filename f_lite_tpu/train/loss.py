@@ -47,6 +47,7 @@ def flow_matching_loss(
     token_keep_ratio: float = 1.0,   # sequence dropout (tech report p.5)
     timesteps: jax.Array | None = None,   # injectable for tests/parity
     noise: jax.Array | None = None,
+    sample_weight: jax.Array | None = None,  # (B,) 0/1 — bs_rampup mask
 ) -> tuple[jax.Array, LossAux]:
     b, h, w, c = latents.shape
     k_drop, k_t, k_noise, k_tok = jax.random.split(rng, 4)
@@ -104,14 +105,24 @@ def flow_matching_loss(
             patchify(v_target, patch_size), token_indices[..., None], axis=1
         )
     per_sample = jnp.mean((targ_tok - pred_tok) ** 2, axis=(1, 2))  # (B,)
-    loss = per_sample.mean()
+    if sample_weight is None:
+        loss = per_sample.mean()
+        weight = jnp.ones_like(per_sample)
+    else:
+        # batch-size rampup (`train.py:428-433`): the reference drops
+        # samples (dynamic shapes — recompile per size on TPU); weighting
+        # the static-shape loss by a 0/1 mask has the same gradient
+        weight = sample_weight.astype(jnp.float32)
+        loss = jnp.sum(per_sample * weight) / jnp.maximum(
+            jnp.sum(weight), 1.0
+        )
 
     # decile binning (`train.py:485-493`): bin = min(int(t*10), 9)
     bins = jnp.minimum((timesteps * 10).astype(jnp.int32), 9)
-    bin_sums = jax.ops.segment_sum(per_sample, bins, num_segments=10)
-    bin_counts = jax.ops.segment_sum(
-        jnp.ones_like(per_sample), bins, num_segments=10
+    bin_sums = jax.ops.segment_sum(
+        per_sample * weight, bins, num_segments=10
     )
+    bin_counts = jax.ops.segment_sum(weight, bins, num_segments=10)
 
     return loss, LossAux(
         diffusion_loss=loss,

@@ -44,12 +44,14 @@ def build_step_fn(
 ):
     """Raw (unjitted) `step(state, rng, latents, context, mask)`."""
 
-    def step_fn(state: TrainState, rng, latents, context, context_mask):
+    def step_fn(state: TrainState, rng, latents, context, context_mask,
+                sample_weight=None):
         def loss_fn(params):
             return flow_matching_loss(
                 dit_apply, params, rng, latents, context, context_mask,
                 uncond_prob=uncond_prob, patch_size=patch_size,
                 token_keep_ratio=token_keep_ratio,
+                sample_weight=sample_weight,
             )
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(

@@ -88,6 +88,13 @@ def parse_args(argv=None):
     p.add_argument("--use_precomputed_data", action="store_true")
     p.add_argument("--precomputed_data_dir", type=str, default=None)
     p.add_argument("--batch_multiplicity", type=int, default=1)
+    p.add_argument("--ema_decay", type=float, default=0.0,
+                   help="EMA of trained params (0 = off); eval sampling "
+                        "and final export use the EMA when enabled")
+    p.add_argument("--bs_rampup", type=int, default=None,
+                   help="ramp the effective batch size up over this many "
+                        "steps (`train.py:428-433`; TPU-native: static "
+                        "shapes + 0/1 loss weights, same gradient)")
     p.add_argument("--uncond_prob", type=float, default=0.05)
     p.add_argument("--sequence_dropout", type=float, default=0.0,
                    help="drop this fraction of image tokens per step "
@@ -418,6 +425,10 @@ def train(args) -> dict:
     from f_lite_tpu.train.step import TrainState, init_train_state
 
     t_start = time.time()
+    # S3KEY/S3SECRET etc. from .env (`train.py:46-47`, `data.py:30`)
+    from f_lite_tpu.utils.env import load_dotenv
+
+    load_dotenv()
     if args.multihost:
         # multi-host rendezvous comes from the TPU-pod metadata — the
         # torchrun/c10d equivalent (`slurm_pretrain.sbatch:82-87`) is free
@@ -547,7 +558,7 @@ def train(args) -> dict:
     # jitted step (closure differs for lora-only)
     uncond_prob = args.uncond_prob if not args.use_precomputed_data else 0.01
 
-    def loss_for(params_like, rng_, latents, ctx, mask):
+    def loss_for(params_like, rng_, latents, ctx, mask, weight=None):
         if train_lora_only:
             merged = apply_lora(
                 params, params_like, alpha=args.lora_alpha,
@@ -559,12 +570,13 @@ def train(args) -> dict:
             model.apply, merged, rng_, latents, ctx, mask,
             uncond_prob=uncond_prob,
             token_keep_ratio=1.0 - args.sequence_dropout,
+            sample_weight=weight,
         )
 
-    def step_fn(state: TrainState, rng_, latents, ctx, mask):
+    def step_fn(state: TrainState, rng_, latents, ctx, mask, weight=None):
         (loss, aux), grads = jax.value_and_grad(
             loss_for, has_aux=True
-        )(state.params, rng_, latents, ctx, mask)
+        )(state.params, rng_, latents, ctx, mask, weight)
         updates, opt_state = opt.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = {
@@ -612,6 +624,33 @@ def train(args) -> dict:
                     sampler_state=sstate,
                 )
             logger.info("resumed from step %d", global_step)
+
+    # EMA of the trained params (full model or LoRA factors) — beyond the
+    # reference; sampled/exported weights come from the EMA when enabled
+    ema_params = None
+    ema_update = None
+    if args.ema_decay > 0:
+        d = float(args.ema_decay)
+        ema_update = jax.jit(
+            lambda e, p: jax.tree.map(
+                lambda a, b: a * d + b.astype(a.dtype) * (1.0 - d), e, p
+            )
+        )
+        restored = None
+        if args.resume_from_checkpoint and global_step:
+            abstract_p = jax.tree.map(
+                lambda x: jax.ShapeDtypeStruct(
+                    x.shape, x.dtype, sharding=getattr(x, "sharding", None)
+                ),
+                state.params,
+            )
+            restored = ckpt.load_extra(global_step, "ema", abstract_p)
+        # deep copy: train_step donates the state, so aliasing
+        # state.params would dangle after the first step
+        ema_params = (
+            restored if restored is not None
+            else jax.tree.map(jnp.copy, state.params)
+        )
 
     metrics_logger = MetricsLogger(args)
     bin_sums = np.zeros(10)
@@ -664,7 +703,26 @@ def train(args) -> dict:
                 )
             rng, k_enc, k_step = jax.random.split(rng, 3)
             latents, ctx, mask = encode_batch(batch, k_enc)
-            state, metrics = train_step(state, k_step, latents, ctx, mask)
+            weight = None
+            if args.bs_rampup and global_step < args.bs_rampup:
+                # gradually raise the effective batch (`train.py:428-433`:
+                # target rounded up to a multiple of 4); random subset via
+                # a 0/1 loss weight so shapes stay static
+                bsz = int(latents.shape[0])
+                target = min(
+                    bsz,
+                    -(-(global_step + 1) * bsz // (args.bs_rampup * 4)) * 4,
+                )
+                if target < bsz:
+                    perm = np.random.permutation(bsz)
+                    w = np.zeros(bsz, np.float32)
+                    w[perm[:target]] = 1.0
+                    weight = put_global_batch(jnp.asarray(w), bsh)
+            state, metrics = train_step(
+                state, k_step, latents, ctx, mask, weight
+            )
+            if ema_update is not None:
+                ema_params = ema_update(ema_params, state.params)
             global_step += 1
 
             if profile_range and global_step == profile_range[1]:
@@ -700,16 +758,22 @@ def train(args) -> dict:
                 bin_counts[:] = 0
                 result.update(logs)
 
-            if global_step % args.checkpointing_steps == 0:
+            if args.checkpointing_steps and \
+                    global_step % args.checkpointing_steps == 0:
                 ckpt.save(global_step, state,
-                          sampler.state_dict(global_step))
+                          sampler.state_dict(global_step),
+                          extra={"ema": ema_params}
+                          if ema_params is not None else None)
                 logger.info("saved checkpoint @ %d", global_step)
 
             if args.sample_every and global_step % args.sample_every == 0:
+                sample_src = (
+                    ema_params if ema_params is not None else state.params
+                )
                 eff = (
-                    apply_lora(params, state.params,
+                    apply_lora(params, sample_src,
                                alpha=args.lora_alpha, rank=args.lora_rank)
-                    if train_lora_only else state.params
+                    if train_lora_only else sample_src
                 )
                 grid = sample_images(
                     model, eff, vae, vae_params, text_encoder, global_step,
@@ -747,7 +811,8 @@ def train(args) -> dict:
             break
 
     # final save (`train.py:1228-1245`)
-    ckpt.save(global_step, state, sampler.state_dict(global_step))
+    ckpt.save(global_step, state, sampler.state_dict(global_step),
+              extra={"ema": ema_params} if ema_params is not None else None)
     if args.use_lora:
         final_dir = ckpt._dir(global_step)
         lora_final = state.params if train_lora_only else lora_params
@@ -757,10 +822,13 @@ def train(args) -> dict:
     if args.export_pipeline:
         from f_lite_tpu.pipeline import FLitePipeline
 
+        export_src = (
+            ema_params if ema_params is not None else state.params
+        )
         eff = (
-            apply_lora(params, state.params, alpha=args.lora_alpha,
+            apply_lora(params, export_src, alpha=args.lora_alpha,
                        rank=args.lora_rank)
-            if train_lora_only else state.params
+            if train_lora_only else export_src
         )
         export_pipe = FLitePipeline(model, eff, vae, vae_params, None)
         export_dir = Path(args.output_dir) / "pipeline"

@@ -138,3 +138,43 @@ class TestTrainStep:
         )
         # adamw normalizes, but clipped grads keep update ~lr-sized
         assert max(jax.tree.leaves(d)) < 0.01
+
+
+class TestBsRampup:
+    def test_weighted_loss_equals_subset_loss(self):
+        """bs_rampup is implemented as 0/1 loss weights over a static
+        batch; must equal computing the loss on the kept subset."""
+        from f_lite_tpu.models.dit import DiT, DiTConfig
+        from f_lite_tpu.train.loss import flow_matching_loss
+
+        cfg = DiTConfig(
+            in_channels=16, patch_size=2, hidden_size=64, depth=2,
+            num_heads=4, mlp_ratio=2.0, cross_attn_input_size=32,
+            use_pallas_attention=False,
+        )
+        model = DiT(cfg)
+        params = model.init_params(jax.random.key(0), text_len=8,
+                                   image_size=16)
+        params = jax.tree.map(lambda p: p + 0.03, params)
+        ks = jax.random.split(jax.random.key(1), 4)
+        b = 4
+        latents = jax.random.normal(ks[0], (b, 16, 16, 16))
+        ctx = jax.random.normal(ks[1], (b, 8, 32))
+        mask = jnp.ones((b, 8), jnp.bool_)
+        t = jax.random.uniform(ks[2], (b,))
+        noise = jax.random.normal(ks[3], latents.shape)
+
+        w = jnp.asarray([1.0, 0.0, 1.0, 0.0])
+        loss_w, aux_w = flow_matching_loss(
+            model.apply, params, jax.random.key(2), latents, ctx, mask,
+            uncond_prob=0.0, timesteps=t, noise=noise, sample_weight=w,
+        )
+        keep = jnp.asarray([0, 2])
+        loss_s, _ = flow_matching_loss(
+            model.apply, params, jax.random.key(2),
+            latents[keep], ctx[keep], mask[keep],
+            uncond_prob=0.0, timesteps=t[keep], noise=noise[keep],
+        )
+        assert float(loss_w) == pytest.approx(float(loss_s), rel=1e-6)
+        # dropped samples don't pollute the bins either
+        assert float(aux_w.bin_counts.sum()) == 2.0

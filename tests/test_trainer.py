@@ -183,3 +183,35 @@ class TestPrecomputedPath:
         result = train(args)
         assert result["global_step"] == 2
         assert np.isfinite(result["train/loss"])
+
+
+class TestEmaAndRampup:
+    def test_ema_saved_and_resumed(self, tmp_path):
+        root = _write_parquet_dataset(tmp_path)
+        out = tmp_path / "out"
+        args = parse_args(_base_argv(root, out) + [
+            "--max_steps", "3", "--checkpointing_steps", "2",
+            "--ema_decay", "0.5",
+        ])
+        result = train(args)
+        assert np.isfinite(result["train/loss"])
+        assert (out / "checkpoints" / "3" / "ema").exists()
+
+        args2 = parse_args(_base_argv(root, out) + [
+            "--max_steps", "5", "--checkpointing_steps", "5",
+            "--ema_decay", "0.5",
+            "--resume_from_checkpoint", "latest",
+        ])
+        result2 = train(args2)
+        assert result2["global_step"] == 5
+        assert (out / "checkpoints" / "5" / "ema").exists()
+
+    def test_bs_rampup_runs(self, tmp_path):
+        root = _write_parquet_dataset(tmp_path)
+        out = tmp_path / "out"
+        args = parse_args(_base_argv(root, out) + [
+            "--max_steps", "3", "--checkpointing_steps", "0",
+            "--bs_rampup", "100",  # keeps target_bs < batch for all steps
+        ])
+        result = train(args)
+        assert np.isfinite(result["train/loss"])
