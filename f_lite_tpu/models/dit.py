@@ -67,7 +67,22 @@ def _constrain(x, *axes):
     if active is None:
         return x
     mesh, rules = active
-    return nn.with_logical_constraint(x, axes, rules=rules, mesh=mesh)
+    # Drop any axis whose (static) dimension isn't divisible by the mesh
+    # extent it maps to — e.g. a batch-1 init/debug forward on a dp*fsdp=4
+    # mesh must not demand 4-way batch sharding. Shapes are static under
+    # trace, so this check costs nothing and keeps the hint best-effort.
+    rule_map = dict(rules)
+    safe = []
+    for i, name in enumerate(axes):
+        mesh_axes = rule_map.get(name) if name is not None else None
+        if mesh_axes is None:
+            safe.append(None)
+            continue
+        if isinstance(mesh_axes, str):
+            mesh_axes = (mesh_axes,)
+        extent = math.prod(mesh.shape[a] for a in mesh_axes)
+        safe.append(name if x.shape[i] % extent == 0 else None)
+    return nn.with_logical_constraint(x, tuple(safe), rules=rules, mesh=mesh)
 
 
 class QuantDense(nn.Module):

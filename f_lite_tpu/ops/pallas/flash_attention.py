@@ -30,6 +30,7 @@ matrix — the property that makes 1024px+ training fit):
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -454,6 +455,35 @@ def _flash_bwd_vjp(scale, block_q, block_k, interpret, residuals, g):
 _flash_attention.defvjp(_flash_fwd_vjp, _flash_bwd_vjp)
 
 
+def _tail_attention(q, k, v, kv_lens, scale):
+    """fp32 SDPA for a small ragged q tail (rows that don't fill a block).
+
+    Must match the kernel's semantics exactly, including zero output for
+    rows whose kv_len is 0 (the kernel's l==0 guard)."""
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if kv_lens is not None:
+        col = jnp.arange(k.shape[2], dtype=jnp.int32)
+        key_ok = col[None, :] < kv_lens[:, None]  # (B, Lk)
+        logits = jnp.where(key_ok[:, None, None, :], logits, -1e30)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd",
+        jax.nn.softmax(logits, axis=-1).astype(q.dtype), v,
+        preferred_element_type=jnp.float32,
+    ).astype(q.dtype)
+    if kv_lens is not None:
+        out = jnp.where((kv_lens > 0)[:, None, None, None], out,
+                        jnp.zeros((), out.dtype))
+    return out
+
+
+# ragged q tails up to this many rows go through XLA instead of forcing a
+# mostly-padded extra q block through the kernel (4112 = 8*512 + 16: the
+# 16-row tail otherwise costs a full 512-row block, ~12% of kernel time)
+_TAIL_SPLIT_MAX = 64
+
+
 def flash_attention(
     q: jax.Array,
     k: jax.Array,
@@ -471,7 +501,8 @@ def flash_attention(
     Key padding is expressed as per-batch prefix lengths: pass `kv_lens`
     (B,) int32 directly, or `kv_mask` (B,Lk) bool which is reduced to
     lengths (prefix semantics assumed — right-padded tokenizer masks).
-    Unaligned shapes are padded and tail-masked by the wrapper.
+    Unaligned shapes are padded and tail-masked by the wrapper; a small
+    ragged q tail is computed by XLA so the kernel's q blocks stay dense.
     Differentiable: the backward runs fused Pallas kernels with O(L) memory.
     """
     if scale is None:
@@ -481,6 +512,24 @@ def flash_attention(
     lq, lk = q.shape[2], k.shape[2]
     block_q = min(block_q, _round_up(lq, 128))
     block_k = min(block_k, _round_up(lk, 128))
+
+    # fold a power-of-two softmax scale into q (exact in bf16/fp32: pure
+    # exponent shift) — removes one (bq, bk) fp32 multiply per k tile.
+    # Gradients stay correct: the multiply sits outside the custom_vjp.
+    frac = math.frexp(scale)[0] if scale > 0 else 0.0
+    if frac == 0.5:
+        q = q * jnp.asarray(scale, q.dtype)
+        scale = 1.0
+
+    tail = lq % block_q
+    main = lq - tail
+    if 0 < tail <= _TAIL_SPLIT_MAX and main >= block_q:
+        out_main = _flash_attention(
+            q[:, :, :main], k, v, kv_lens, scale, block_q, block_k,
+            interpret,
+        )
+        out_tail = _tail_attention(q[:, :, main:], k, v, kv_lens, scale)
+        return jnp.concatenate([out_main, out_tail], axis=2)
     return _flash_attention(
         q, k, v, kv_lens, scale, block_q, block_k, interpret
     )

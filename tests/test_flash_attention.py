@@ -114,6 +114,34 @@ class TestFlashBackward:
                 np.asarray(a), np.asarray(b_), atol=1e-3, rtol=1e-3
             )
 
+    def test_grads_ragged_tail_split(self):
+        # 1040 = 2*512 + 16: exercises the XLA ragged-tail split (the
+        # serving shape 4112 = 8*512 + 16 takes the same path) through
+        # both forward and backward, with a kv prefix mask
+        b, h, l, d = 2, 2, 1040, 64
+        q, k, v = _qkv(b, h, l, l, d, seed=12)
+        lens = jnp.array([1040, 700], jnp.int32)
+        mask = jnp.arange(l)[None, :] < lens[:, None]
+
+        def loss_pallas(q, k, v):
+            return jnp.sum(fa(q, k, v, kv_lens=lens,
+                              block_q=512, block_k=256) ** 2)
+
+        def loss_xla(q, k, v):
+            return jnp.sum(attention_xla(q, k, v, kv_mask=mask) ** 2)
+
+        out = fa(q, k, v, kv_lens=lens, block_q=512, block_k=256)
+        ref = attention_xla(q, k, v, kv_mask=mask)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5
+        )
+        g1 = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=1e-3, rtol=1e-3
+            )
+
     def test_grads_bf16(self):
         b, h, l, d = 1, 2, 256, 128
         q, k, v = _qkv(b, h, l, l, d, dtype=jnp.bfloat16, seed=9)

@@ -93,7 +93,9 @@ class TestTwoProcessTrainStep:
         ]
         outs = []
         for p in procs:
-            out, _ = p.communicate(timeout=300)
+            # generous: two jax.distributed processes each compile a train
+            # step; under CI/load contention 300s has proven flaky
+            out, _ = p.communicate(timeout=600)
             outs.append(out)
         for p, out in zip(procs, outs):
             assert p.returncode == 0, out[-3000:]
