@@ -105,8 +105,11 @@ def main():
 
     # scan_layers: same math/perf as unrolled (verified), 8.8x faster compile
     quantized = os.environ.get("F_LITE_BENCH_QUANT", "1") == "1"
-    cfg = DiTConfig.f_lite_7b(dtype=dtype, param_dtype=dtype,
-                              scan_layers=True, quantized=quantized)
+    model_name = os.environ.get("F_LITE_BENCH_MODEL", "7b")
+    preset = (DiTConfig.f_lite_10b if model_name == "10b"
+              else DiTConfig.f_lite_7b)
+    cfg = preset(dtype=dtype, param_dtype=dtype,
+                 scan_layers=True, quantized=quantized)
     model = DiT(cfg)
     shapes = jax.eval_shape(
         lambda: model.init_params(jax.random.key(0), text_len=128,
@@ -193,7 +196,8 @@ def main():
     mode = "int8-weight-only" if quantized else "bf16"
     record = {
         "metric": (
-            f"F-Lite-7B {height}px {steps}-step images/min/chip ({mode})"
+            f"F-Lite-{model_name.upper()} {height}px {steps}-step "
+            f"images/min/chip ({mode})"
         ),
         "value": round(images_per_min, 4),
         "unit": "images/min/chip",

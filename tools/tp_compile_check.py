@@ -94,6 +94,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tp", type=int, default=8)
     ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--model", default="7b", choices=("7b", "10b"),
+                    help="flagship preset to audit (10b = released "
+                         "F-Lite arch: hidden 3072 x 40, residual_v)")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny model (fast smoke; used by the test suite)")
     ap.add_argument("--out", default="TP_CHECK.json")
@@ -126,7 +129,9 @@ def main():
         )
         lat, text_len = 32, 32
     else:
-        cfg = DiTConfig.f_lite_7b(
+        preset = (DiTConfig.f_lite_10b if args.model == "10b"
+                  else DiTConfig.f_lite_7b)
+        cfg = preset(
             dtype=dtype, param_dtype=dtype, scan_layers=True,
             use_pallas_attention=False,
         )
@@ -202,7 +207,7 @@ def main():
     record = {
         "ok": not bad and bool(collectives),
         "tp": args.tp,
-        "model": "tiny" if args.tiny else "f-lite-7b",
+        "model": "tiny" if args.tiny else f"f-lite-{args.model}",
         "heads": cfg.num_heads,
         "padded_heads": cfg.padded_heads,
         "steps": args.steps,
