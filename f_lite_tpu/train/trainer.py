@@ -653,8 +653,11 @@ def train(args) -> dict:
         )
 
     metrics_logger = MetricsLogger(args)
-    bin_sums = np.zeros(10)
-    bin_counts = np.zeros(10)
+    # device-side accumulators: fetching them with np.asarray every step
+    # would block the host on step completion and kill async dispatch
+    # pipelining; they are materialized only at log boundaries
+    bin_sums = jnp.zeros(10, jnp.float32)
+    bin_counts = jnp.zeros(10, jnp.float32)
     bsh = batch_sharding(mesh)
 
     profile_range = None
@@ -731,8 +734,8 @@ def train(args) -> dict:
                 )
                 jax.profiler.stop_trace()
 
-            bin_sums += np.asarray(metrics["bin_sums"])
-            bin_counts += np.asarray(metrics["bin_counts"])
+            bin_sums = bin_sums + metrics["bin_sums"]  # lazy, on device
+            bin_counts = bin_counts + metrics["bin_counts"]
 
             if global_step % args.log_every == 0:
                 logs = {
@@ -743,19 +746,18 @@ def train(args) -> dict:
                     "train/step": global_step,
                     "train/grad_norm": float(metrics["grad_norm"]),
                 }
+                bs, bc = np.asarray(bin_sums), np.asarray(bin_counts)
                 for i in range(10):
-                    if bin_counts[i] > 0:
-                        logs[f"metrics/avg_loss_bin_{i}"] = (
-                            bin_sums[i] / bin_counts[i]
-                        )
+                    if bc[i] > 0:
+                        logs[f"metrics/avg_loss_bin_{i}"] = bs[i] / bc[i]
                 metrics_logger.log(logs, global_step)
                 logger.info(
                     "step %d loss %.4f lr %.2e grad %.3f",
                     global_step, logs["train/loss"], logs["train/lr"],
                     logs["train/grad_norm"],
                 )
-                bin_sums[:] = 0
-                bin_counts[:] = 0
+                bin_sums = jnp.zeros_like(bin_sums)
+                bin_counts = jnp.zeros_like(bin_counts)
                 result.update(logs)
 
             if args.checkpointing_steps and \
