@@ -53,6 +53,12 @@ CTX = "ctx"
 ACT_BATCH = "act_batch"
 ACT_HEADS = "act_heads"
 ACT_MLP = "act_mlp"
+# residual-stream sequence axis: maps to None (replicated) under the
+# default rules = plain Megatron TP; maps to "tp" under
+# parallel.mesh.SP_RULES = Megatron sequence parallelism (norms/residual
+# adds run on L/tp shards, XLA turns each block's all-reduce into
+# reduce-scatter + all-gather — same bytes, 1/tp activation memory)
+ACT_SEQ = "act_seq"
 
 
 def _constrain(x, *axes):
@@ -410,7 +416,7 @@ class Attention(nn.Module):
             dtype=cfg.dtype, param_dtype=cfg.param_dtype,
             quant=cfg.quantized,
         )(out)
-        out = _constrain(out, ACT_BATCH, None, None)
+        out = _constrain(out, ACT_BATCH, ACT_SEQ, None)
         if self.is_self_attn and cfg.residual_v:
             return out, v_first_out
         return out
@@ -444,7 +450,7 @@ class SwiGLUMLP(nn.Module):
             kernel_axes=(MLP, EMBED), dtype=cfg.dtype,
             param_dtype=cfg.param_dtype, quant=cfg.quantized,
         )(inter_act)
-        return _constrain(out, ACT_BATCH, None, None)
+        return _constrain(out, ACT_BATCH, ACT_SEQ, None)
 
 
 class RMSNormModule(nn.Module):
@@ -484,9 +490,10 @@ class DiTBlock(nn.Module):
         (shift_sa, scale_sa, gate_sa, shift_ca, scale_ca, gate_ca,
          shift_mlp, scale_mlp, gate_mlp) = (mod(i) for i in range(9))
 
-        # residual stream replicated over tp (Megatron layout): norms stay
-        # local and column-parallel matmul inputs need no gather
-        x = _constrain(x, ACT_BATCH, None, None)
+        # residual stream: replicated over tp under the default rules
+        # (Megatron layout — norms local, column-parallel inputs need no
+        # gather); sequence-sharded over tp under SP_RULES
+        x = _constrain(x, ACT_BATCH, ACT_SEQ, None)
 
         norm_x = RMSNormModule(cfg.hidden_size, cfg.param_dtype, name="norm1")(x)
         norm_x = norm_x * (1 + scale_sa) + shift_sa
@@ -513,10 +520,10 @@ class DiTBlock(nn.Module):
         norm_x = norm_x * (1 + scale_mlp) + shift_mlp
         x = x + SwiGLUMLP(cfg, name="mlp")(norm_x) * gate_mlp
 
-        # keep the scan carry replicated too (the residual adds above are
+        # pin the scan carry's layout too (the residual adds above are
         # outside the branch constraints; an unconstrained carry lets XLA
         # shard the loop state and re-gather every iteration)
-        return _constrain(x, ACT_BATCH, None, None), v_first
+        return _constrain(x, ACT_BATCH, ACT_SEQ, None), v_first
 
 
 class ScanUnit(nn.Module):
@@ -693,9 +700,9 @@ class DiT(nn.Module):
              tokens],
             axis=1,
         )
-        # replicated residual stream from the start (scan carries inherit
+        # residual-stream layout from the start (scan carries inherit
         # their entry sharding; see DiTBlock)
-        tokens = _constrain(tokens, ACT_BATCH, None, None)
+        tokens = _constrain(tokens, ACT_BATCH, ACT_SEQ, None)
 
         if cfg.use_rope:
             rope = rope_2d_freqs(
@@ -819,6 +826,9 @@ class DiT(nn.Module):
                 )(tokens, context, context_mask, block_mod, rope, v_first)
 
         # Drop registers; final modulation + zero-init proj (`model.py:575-581`).
+        # (gather back to replicated here: the register slice is offset by
+        # n_register_tokens, which would force a resharding halo anyway,
+        # and the final norm/proj is a one-time epilogue)
         tokens = _constrain(tokens, ACT_BATCH, None, None)
         tokens = tokens[:, cfg.n_register_tokens :, :]
         final_mod = AdaLNHead(cfg, 2, name="final_modulation")(t_emb)

@@ -45,6 +45,19 @@ LOGICAL_RULES = (
     ("act_batch", ("dp", "fsdp")),
     ("act_heads", "tp"),   # per-head activations (attention local per tp)
     ("act_mlp", "tp"),     # gate/up intermediate
+    ("act_seq", None),     # residual-stream sequence axis: replicated
+)
+
+# Megatron-style sequence parallelism (opt-in): the residual stream is
+# sharded over tp along the sequence axis, so RMSNorms / AdaLN modulation /
+# residual adds run on L/tp shards and each block's two tp all-reduces
+# become reduce-scatter (after the row-parallel proj/down matmuls) +
+# all-gather (before the column-parallel qkv/gate/up matmuls) — identical
+# communication volume, 1/tp residual-stream activation memory. Activate
+# with `mesh_rules(mesh, SP_RULES)` / trainer `--sequence_parallel`.
+SP_RULES = tuple(
+    (name, "tp") if name == "act_seq" else (name, spec)
+    for name, spec in LOGICAL_RULES
 )
 
 

@@ -104,6 +104,11 @@ def parse_args(argv=None):
     p.add_argument("--fsdp", type=int, default=1,
                    help="0 = all remaining local devices")
     p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--sequence_parallel", action="store_true",
+                   help="Megatron SP: shard the residual stream over tp "
+                        "along the sequence axis (reduce-scatter/"
+                        "all-gather instead of all-reduce; 1/tp "
+                        "activation memory). Requires --tp > 1.")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() (TPU pods)")
     # LoRA
@@ -457,10 +462,18 @@ def train(args) -> dict:
                       devices=jax.devices()[: args.dp * fsdp * args.tp])
     # activation sharding annotations (models/dit.py _constrain) engage
     # for every trace below
-    from f_lite_tpu.parallel.mesh import use_mesh_rules
+    from f_lite_tpu.parallel.mesh import (
+        LOGICAL_RULES,
+        SP_RULES,
+        use_mesh_rules,
+    )
 
-    use_mesh_rules(mesh)
-    logger.info("mesh: dp=%d fsdp=%d tp=%d", args.dp, fsdp, args.tp)
+    if args.sequence_parallel and args.tp <= 1:
+        raise ValueError("--sequence_parallel requires --tp > 1")
+    rules = SP_RULES if args.sequence_parallel else LOGICAL_RULES
+    use_mesh_rules(mesh, rules)
+    logger.info("mesh: dp=%d fsdp=%d tp=%d sp=%s", args.dp, fsdp, args.tp,
+                args.sequence_parallel)
 
     # models
     model = build_dit(args, dtype)

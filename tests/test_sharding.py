@@ -128,7 +128,17 @@ class TestShardedTrainStep:
         assert int(state2.step) == 1
 
     def test_loss_matches_unsharded(self):
-        mesh = create_mesh(dp=1, fsdp=8, tp=1)
+        self._loss_parity(rules=None)
+
+    def test_loss_matches_unsharded_sequence_parallel(self):
+        from f_lite_tpu.parallel.mesh import SP_RULES
+
+        self._loss_parity(rules=SP_RULES, tp=4)
+
+    def _loss_parity(self, rules, tp=1):
+        from f_lite_tpu.parallel.mesh import mesh_rules
+
+        mesh = create_mesh(dp=1, fsdp=8 // tp, tp=tp)
         model, init_fn = _init_boxed(CFG)
         sh = infer_param_shardings(init_fn, mesh)
         params = _materialize(model, CFG)
@@ -145,11 +155,74 @@ class TestShardedTrainStep:
                               ctx, mask)
         sharded = shard_params(params, sh)
         bs = batch_sharding(mesh)
-        _, loss_sh, _ = step(
-            init_train_state(sharded, opt), rng,
-            jax.device_put(latents, bs), jax.device_put(ctx, bs),
-            jax.device_put(mask, bs),
-        )
+        import contextlib
+
+        ctx_mgr = (mesh_rules(mesh, rules) if rules is not None
+                   else contextlib.nullcontext())
+        with ctx_mgr:
+            _, loss_sh, _ = step(
+                init_train_state(sharded, opt), rng,
+                jax.device_put(latents, bs), jax.device_put(ctx, bs),
+                jax.device_put(mask, bs),
+            )
         np.testing.assert_allclose(
             float(loss_ref), float(loss_sh), rtol=1e-5
         )
+
+
+class TestSequenceParallel:
+    """Megatron SP (`parallel.mesh.SP_RULES`): the residual stream is
+    sequence-sharded over tp between blocks. Exactness: attention/matmul
+    math is unchanged — only activation layout moves — so outputs must be
+    bit-comparable to the replicated-stream default."""
+
+    def _forward(self, rules, tp, dp=2):
+        from f_lite_tpu.parallel.mesh import mesh_rules
+
+        mesh = create_mesh(dp=dp, fsdp=1, tp=tp,
+                           devices=jax.devices()[: dp * tp])
+        model, init_fn = _init_boxed(CFG)
+        params = _materialize(model, CFG)
+        x = jax.random.normal(jax.random.key(1), (4, 16, 16, 16))
+        ctx = jax.random.normal(jax.random.key(2), (4, 8, 64))
+        mask = jnp.ones((4, 8), jnp.bool_)
+        t = jnp.full((4,), 0.5)
+        with mesh_rules(mesh, rules):
+            out = jax.jit(model.apply)(params, x, ctx, mask, t)
+        return np.asarray(out)
+
+    @pytest.mark.parametrize("tp", [2, 4])
+    def test_forward_matches_default_rules(self, tp):
+        from f_lite_tpu.parallel.mesh import LOGICAL_RULES, SP_RULES
+
+        base = self._forward(LOGICAL_RULES, tp)
+        sp = self._forward(SP_RULES, tp)
+        np.testing.assert_array_equal(sp, base)
+
+    def test_residual_stream_is_sequence_sharded(self):
+        # the lowered module must carry seq-dim tp constraints on the
+        # (B, L, D) residual stream; the compiled module must keep every
+        # collective on tp-only groups (no dp/fsdp traffic) and run the
+        # blocks' RMSNorms on L/tp shards
+        import re
+
+        from f_lite_tpu.parallel.mesh import SP_RULES, mesh_rules
+
+        mesh = create_mesh(dp=1, fsdp=1, tp=8)
+        model, _ = _init_boxed(CFG)
+        params = _materialize(model, CFG)
+        x = jnp.zeros((1, 16, 16, 16))
+        ctx = jnp.zeros((1, 8, 64))
+        mask = jnp.ones((1, 8), jnp.bool_)
+        t = jnp.zeros((1,))
+        with mesh_rules(mesh, SP_RULES):
+            lowered = jax.jit(model.apply).lower(params, x, ctx, mask, t)
+            compiled = lowered.compile()
+        # 16x16 latents, patch 2 -> 64 patches + 16 registers = 80 tokens
+        assert re.search(
+            r'sharding_constraint[^\n]*\{"tp"\}, \{\}\]>'
+            r" : tensor<1x80x128x", lowered.as_text()
+        ), "lowered module lost the seq-dim tp constraint"
+        hlo = compiled.as_text()
+        # RMSNorm reductions on the sharded stream: 80/8 = 10 rows/device
+        assert re.search(r"f32\[1,10\]\{1,0\} rsqrt", hlo)
