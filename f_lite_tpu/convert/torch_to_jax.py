@@ -235,7 +235,12 @@ def convert_dit_state_dict(
     p["final_proj"] = _dense(sd, "final_proj")
     if config.scan_layers:
         p = to_scan_layout(p, config)
-    return {"params": p}
+    out = {"params": p}
+    if config.pipeline_stages > 1:
+        from f_lite_tpu.parallel.pipeline import scan_to_pipeline_params
+
+        out = scan_to_pipeline_params(out, config.pipeline_stages)
+    return out
 
 
 def _stack_trees(trees):

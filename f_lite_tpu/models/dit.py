@@ -272,9 +272,23 @@ class DiTConfig:
     # convert/torch_to_jax.py. head_dim stays hidden_size // num_heads.
     padded_heads: int | None = None
     scan_layers: bool = False  # lax.scan over layer stacks (see __call__)
+    # GPipe-style pipeline parallelism over the periodic block region
+    # (PipelineTrunk): >1 shards consecutive block groups over the mesh's
+    # "pp" axis and streams `pipeline_microbatches` microbatches through
+    # the stages. Requires scan_layers. Bubble fraction is
+    # (pp-1)/(microbatches+pp-1).
+    pipeline_stages: int = 1
+    pipeline_microbatches: int = 1
     quantized: bool = False  # int8 weight-only projections (inference)
     gradient_checkpoint: bool = False
     gradient_checkpoint_from: int = 8  # remat blocks >= this (`model.py:559`)
+    # what remat saves: "full" saves only block inputs (max recompute,
+    # min memory — the reference's torch.utils.checkpoint semantics);
+    # "dots" saves weight-matmul outputs (jax
+    # dots_with_no_batch_dims_saveable — recomputes only attention/
+    # elementwise, ~2/3 of the bwd recompute FLOPs avoided for ~L*D
+    # extra bytes/block)
+    remat_policy: str = "full"
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
     use_pallas_attention: bool | None = None  # None = auto (TPU yes)
@@ -570,10 +584,26 @@ class ScanUnit(nn.Module):
         return (tokens, v_first), None
 
 
+def _remat_policy(cfg):
+    try:
+        return {
+            "full": None,
+            "dots": jax.checkpoint_policies
+            .dots_with_no_batch_dims_saveable,
+        }[cfg.remat_policy]
+    except KeyError:
+        raise ValueError(
+            f"remat_policy must be 'full' or 'dots', got "
+            f"{cfg.remat_policy!r}"
+        ) from None
+
+
 def _make_scan(unit_cls, cfg, pattern, n_units, own_adaln, remat, name,
                idx_offset=0):
     if remat:
-        unit_cls = nn.remat(unit_cls, prevent_cse=False)
+        unit_cls = nn.remat(
+            unit_cls, prevent_cse=False, policy=_remat_policy(cfg)
+        )
     scanned = nn.scan(
         unit_cls,
         variable_axes={"params": 0},
@@ -584,6 +614,210 @@ def _make_scan(unit_cls, cfg, pattern, n_units, own_adaln, remat, name,
     )
     return scanned(cfg, cross_pattern=pattern, own_adaln=own_adaln,
                    idx_offset=idx_offset, name=name)
+
+
+ACT_STAGE = "act_stage"
+
+
+class PipelineStage(nn.Module):
+    """One pipeline stage: `units` consecutive ScanUnits.
+
+    `stage_id` is traced (the stages are vmapped, see PipelineTrunk), so
+    the residual_v `mix` selector keeps working: the global block index is
+    idx_offset + (stage_id*units + u)*len(pattern) + j.
+    `mb_idx` selects this stage's current microbatch from the broadcast
+    (num_mb, Bmb, ...) buffers — a local gather, the buffers are
+    replicated over pp.
+    """
+
+    config: DiTConfig
+    cross_pattern: tuple
+    units: int
+    own_adaln: bool
+    idx_offset: int
+
+    @nn.compact
+    def __call__(self, carry, stage_id, mb_idx, ctx_buf, mask_buf, mod_buf,
+                 rope):
+        cfg = self.config
+        take = lambda buf: jax.lax.dynamic_index_in_dim(
+            buf, mb_idx, 0, keepdims=False
+        )
+        context = take(ctx_buf)
+        context_mask = None if mask_buf is None else take(mask_buf)
+        mod_or_temb = take(mod_buf)
+        unit_idx = stage_id * self.units + jnp.arange(self.units)
+        carry, _ = _make_scan(
+            ScanUnit, cfg, self.cross_pattern, self.units, self.own_adaln,
+            cfg.gradient_checkpoint, "blocks", idx_offset=self.idx_offset,
+        )(carry, unit_idx, context, context_mask, mod_or_temb, rope)
+        return carry
+
+
+class _PipeStep(nn.Module):
+    """One clock tick of the GPipe schedule: inject a fresh microbatch into
+    stage 0, shift every stage's state to its right neighbor (XLA lowers
+    the concat-of-shifted-shards on the pp-sharded axis to a
+    collective-permute), run all stages in parallel (vmapped; each device
+    computes its own stage), and collect the last stage's finished
+    microbatch."""
+
+    config: DiTConfig
+    cross_pattern: tuple
+    units: int
+    own_adaln: bool
+    idx_offset: int
+    num_mb: int
+
+    @nn.compact
+    def __call__(self, carry, t, tokens_mb, v_mb, ctx_mb, mask_mb, mod_mb,
+                 rope):
+        cfg = self.config
+        pp, num_mb = cfg.pipeline_stages, self.num_mb
+        s_x, s_v, outputs = carry
+        stage_ids = jnp.arange(pp)
+        mb_idx = jnp.clip(t - stage_ids, 0, num_mb - 1)
+
+        inj = jax.lax.dynamic_index_in_dim(
+            tokens_mb, jnp.clip(t, 0, num_mb - 1), 0, keepdims=True
+        )
+        x_in = jnp.concatenate([inj, s_x[:-1]], axis=0)
+        x_in = _constrain(x_in, ACT_STAGE, ACT_BATCH, ACT_SEQ, None)
+        if s_v is not None:
+            inj_v = jax.lax.dynamic_index_in_dim(
+                v_mb, jnp.clip(t, 0, num_mb - 1), 0, keepdims=True
+            )
+            v_in = jnp.concatenate([inj_v, s_v[:-1]], axis=0)
+            v_in = _constrain(
+                v_in, ACT_STAGE, ACT_BATCH, ACT_HEADS, None, None
+            )
+        else:
+            v_in = None
+
+        stages = nn.vmap(
+            PipelineStage,
+            in_axes=(0, 0, 0, None, None, None, None),
+            out_axes=0,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            metadata_params={nn.meta.PARTITION_NAME: "stage"},
+        )(self.config, cross_pattern=self.cross_pattern, units=self.units,
+          own_adaln=self.own_adaln, idx_offset=self.idx_offset,
+          name="stages")
+        s_x2, s_v2 = stages(
+            (x_in, v_in), stage_ids, mb_idx, ctx_mb, mask_mb, mod_mb, rope
+        )
+        s_x2 = _constrain(s_x2, ACT_STAGE, ACT_BATCH, ACT_SEQ, None)
+
+        # drain: store the last stage's output for microbatch t-(pp-1);
+        # before the pipe is full (t < pp-1) rewrite slot 0 with itself
+        o_idx = jnp.clip(t - (pp - 1), 0, num_mb - 1)
+        last = jax.lax.dynamic_index_in_dim(s_x2, pp - 1, 0, keepdims=False)
+        cur = jax.lax.dynamic_index_in_dim(outputs, o_idx, 0, keepdims=False)
+        new = jnp.where(t >= pp - 1, last, cur)
+        outputs = jax.lax.dynamic_update_index_in_dim(outputs, new, o_idx, 0)
+        return (s_x2, s_v2, outputs), None
+
+
+class PipelineTrunk(nn.Module):
+    """GPipe-style pipeline parallelism over a uniform block region,
+    expressed entirely in GSPMD (no hand-written collectives):
+
+    - the region's ScanUnit parameters are vmapped over a leading `stage`
+      axis (logical rule "stage" -> mesh "pp"), so each pp group holds
+      n_units/pp blocks;
+    - activations stream through stages as a (pp, Bmb, L, D) rotating
+      state; the per-tick neighbor shift lowers to a collective-permute on
+      the pp axis;
+    - the tick loop is an nn.scan over num_mb + pp - 1 steps with
+      broadcast params.
+
+    The reference has no pipeline parallelism at all (FSDP only,
+    `distributed.py:83-100`); this exists for pods where a 10B+ model's
+    optimizer state exceeds what fsdp alone can hold per chip, or where
+    fsdp all-gather bandwidth (DCN multi-slice) is the binding constraint.
+    Math is exact per microbatch; outputs are identical to the plain scan
+    trunk (tests/test_pipeline_parallel.py).
+    """
+
+    config: DiTConfig
+    cross_pattern: tuple
+    n_units: int
+    own_adaln: bool
+    idx_offset: int
+
+    @nn.compact
+    def __call__(self, tokens, v_first, context, context_mask, mod_or_temb,
+                 rope):
+        cfg = self.config
+        pp, num_mb = cfg.pipeline_stages, cfg.pipeline_microbatches
+        if self.n_units % pp:
+            raise ValueError(
+                f"pipeline_stages={pp} must divide the pipelined region's "
+                f"{self.n_units} scan units"
+            )
+        b = tokens.shape[0]
+        if b == 1:
+            # batch-1 traces (init / eval_shape / debug forwards) can't be
+            # microbatched; params don't depend on num_mb, so degrade to a
+            # single microbatch instead of failing init
+            num_mb = 1
+        if b % num_mb:
+            raise ValueError(
+                f"batch {b} not divisible by pipeline_microbatches={num_mb}"
+            )
+        bmb = b // num_mb
+
+        def mb(x):
+            # strided sample->microbatch assignment (sample i -> mb
+            # i % num_mb): a reshape+transpose that KEEPS the incoming
+            # (dp, fsdp)-sharded batch axis as the sharded bmb axis —
+            # zero resharding, unlike a contiguous split which would
+            # scatter each microbatch across the batch shards. Microbatch
+            # composition is irrelevant to training semantics (the loss
+            # averages over the full batch) and the inverse transpose
+            # below restores original sample order exactly.
+            if x is None:
+                return None
+            x = x.reshape(bmb, num_mb, *x.shape[1:]).swapaxes(0, 1)
+            return _constrain(x, "act_mb", ACT_BATCH,
+                              *(None,) * (x.ndim - 2))
+
+        tokens_mb = mb(tokens)
+        v_mb = mb(v_first)
+        ctx_mb = mb(context)
+        mask_mb = mb(context_mask)
+        mod_mb = mb(mod_or_temb)
+
+        s_x = jnp.zeros((pp, bmb) + tokens.shape[1:], tokens.dtype)
+        s_x = _constrain(s_x, ACT_STAGE, ACT_BATCH, ACT_SEQ, None)
+        if v_first is not None:
+            s_v = jnp.zeros((pp, bmb) + v_first.shape[1:], v_first.dtype)
+            s_v = _constrain(
+                s_v, ACT_STAGE, ACT_BATCH, ACT_HEADS, None, None
+            )
+        else:
+            s_v = None
+        outputs = jnp.zeros_like(tokens_mb)
+
+        n_ticks = num_mb + pp - 1
+        step = nn.scan(
+            _PipeStep,
+            variable_axes={},
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=(0,) + (nn.broadcast,) * 6,
+            length=n_ticks,
+        )(cfg, cross_pattern=self.cross_pattern,
+          units=self.n_units // pp, own_adaln=self.own_adaln,
+          idx_offset=self.idx_offset, num_mb=num_mb, name="pipe")
+        (s_x, s_v, outputs), _ = step(
+            (s_x, s_v, outputs), jnp.arange(n_ticks), tokens_mb, v_mb,
+            ctx_mb, mask_mb, mod_mb, rope,
+        )
+        # inverse of the strided microbatch split in mb(): restore
+        # original sample order
+        return outputs.swapaxes(0, 1).reshape(b, *tokens.shape[1:])
 
 
 class TimestepEmbed(nn.Module):
@@ -754,6 +988,13 @@ class DiT(nn.Module):
         else:
             modulation = None  # per-block heads below
 
+        if cfg.pipeline_stages > 1 and not cfg.scan_layers:
+            raise ValueError("pipeline_stages > 1 requires scan_layers")
+        if cfg.pipeline_stages > 1 and token_indices is not None:
+            raise ValueError(
+                "pipeline_stages > 1 is incompatible with sequence "
+                "dropout (token_indices) — rope becomes per-sample"
+            )
         if cfg.scan_layers:
             own_adaln = cfg.adaln_mode == "per_block"
             mod_or_temb = t_emb if own_adaln else modulation
@@ -768,11 +1009,20 @@ class DiT(nn.Module):
                 v_first = None
             carry = (tokens, v_first)
             if cfg.cross_attn_all:
-                carry, _ = _make_scan(
-                    ScanUnit, cfg, (True,), cfg.depth, own_adaln,
-                    cfg.gradient_checkpoint, "blocks_all",
-                )(carry, jnp.arange(cfg.depth), context, context_mask,
-                  mod_or_temb, rope)
+                if cfg.pipeline_stages > 1:
+                    tokens = PipelineTrunk(
+                        cfg, cross_pattern=(True,), n_units=cfg.depth,
+                        own_adaln=own_adaln, idx_offset=0,
+                        name="blocks_all",
+                    )(tokens, v_first, context, context_mask, mod_or_temb,
+                      rope)
+                    carry = (tokens, None)
+                else:
+                    carry, _ = _make_scan(
+                        ScanUnit, cfg, (True,), cfg.depth, own_adaln,
+                        cfg.gradient_checkpoint, "blocks_all",
+                    )(carry, jnp.arange(cfg.depth), context, context_mask,
+                      mod_or_temb, rope)
             else:
                 first_n = min(cfg.cross_attn_first_n, cfg.depth)
                 rest = cfg.depth - first_n
@@ -794,12 +1044,24 @@ class DiT(nn.Module):
                         cfg.block_has_cross_attn(first_n + j)
                         for j in range(cfg.cross_attn_period)
                     )
-                    carry, _ = _make_scan(
-                        ScanUnit, cfg, pattern, n_units, own_adaln,
-                        cfg.gradient_checkpoint, "blocks_rest",
-                        idx_offset=first_n,
-                    )(carry, jnp.arange(n_units), context, context_mask,
-                      mod_or_temb, rope)
+                    if cfg.pipeline_stages > 1:
+                        # v1: only the periodic region is pipelined; the
+                        # front cross blocks above are structurally
+                        # different and stay replicated over pp
+                        tokens = PipelineTrunk(
+                            cfg, cross_pattern=pattern, n_units=n_units,
+                            own_adaln=own_adaln, idx_offset=first_n,
+                            name="blocks_rest",
+                        )(carry[0], carry[1], context, context_mask,
+                          mod_or_temb, rope)
+                        carry = (tokens, None)
+                    else:
+                        carry, _ = _make_scan(
+                            ScanUnit, cfg, pattern, n_units, own_adaln,
+                            cfg.gradient_checkpoint, "blocks_rest",
+                            idx_offset=first_n,
+                        )(carry, jnp.arange(n_units), context, context_mask,
+                          mod_or_temb, rope)
             tokens = carry[0]
         else:
             v_first = None
@@ -820,7 +1082,10 @@ class DiT(nn.Module):
                     cfg.gradient_checkpoint
                     and idx >= cfg.gradient_checkpoint_from
                 ):
-                    block_cls = nn.remat(DiTBlock, prevent_cse=False)
+                    block_cls = nn.remat(
+                        DiTBlock, prevent_cse=False,
+                        policy=_remat_policy(cfg),
+                    )
                 tokens, v_first = block_cls(
                     cfg, do_cross_attn=do_cross, name=f"blocks_{idx}"
                 )(tokens, context, context_mask, block_mod, rope, v_first)

@@ -32,6 +32,9 @@ from jax.sharding import Mesh
 # logical axis -> mesh axis (flax.linen.logical_to_mesh_sharding rules)
 LOGICAL_RULES = (
     ("layers", None),      # scan_layers stacking axis: replicated
+    ("stage", "pp"),       # pipeline-parallel stage axis (models/dit.py
+    ("act_stage", "pp"),   # PipelineTrunk): params + rotating activations
+    ("act_mb", None),      # microbatch axis of pipelined activations
     ("embed", "fsdp"),     # dim-0 of most kernels: ZeRO-style shard
     ("qkv_out", "tp"),     # fused qkv / context_kv / q output dim
     ("mlp", "tp"),         # gate/up output, down input
@@ -103,17 +106,22 @@ def use_mesh_rules(mesh: Mesh, rules=LOGICAL_RULES) -> None:
 
 
 def create_mesh(
-    dp: int = 1, fsdp: int = 1, tp: int = 1, *, devices=None
+    dp: int = 1, fsdp: int = 1, tp: int = 1, pp: int = 1, *, devices=None
 ) -> Mesh:
-    """Build a (dp, fsdp, tp) mesh. Total must equal len(devices)."""
+    """Build a (dp, pp, fsdp, tp) mesh. Total must equal len(devices).
+
+    Axis order: dp outermost (maps to DCN on multi-slice), then pp (stage
+    neighbors are ICI neighbors), then fsdp, then tp innermost (its
+    collectives are per-layer and ride the fastest links).
+    """
     devices = devices if devices is not None else jax.devices()
-    n = dp * fsdp * tp
+    n = dp * fsdp * tp * pp
     if n != len(devices):
         raise ValueError(
-            f"mesh {dp}x{fsdp}x{tp}={n} != {len(devices)} devices"
+            f"mesh {dp}x{pp}x{fsdp}x{tp}={n} != {len(devices)} devices"
         )
-    arr = np.asarray(devices).reshape(dp, fsdp, tp)
-    return Mesh(arr, ("dp", "fsdp", "tp"))
+    arr = np.asarray(devices).reshape(dp, pp, fsdp, tp)
+    return Mesh(arr, ("dp", "pp", "fsdp", "tp"))
 
 
 def auto_mesh(n_devices: int | None = None) -> Mesh:

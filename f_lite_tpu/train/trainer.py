@@ -109,6 +109,14 @@ def parse_args(argv=None):
                         "along the sequence axis (reduce-scatter/"
                         "all-gather instead of all-reduce; 1/tp "
                         "activation memory). Requires --tp > 1.")
+    p.add_argument("--pp", type=int, default=1,
+                   help="pipeline-parallel stages (GPipe over the "
+                        "periodic block region; requires --scan_layers "
+                        "and stage count dividing the region's scan "
+                        "units)")
+    p.add_argument("--pp_microbatches", type=int, default=1,
+                   help="microbatches streamed through the pipeline per "
+                        "step; bubble = (pp-1)/(microbatches+pp-1)")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() (TPU pods)")
     # LoRA
@@ -126,6 +134,14 @@ def parse_args(argv=None):
     p.add_argument("--mixed_precision", type=str, default=None,
                    choices=["no", "bf16"])
     p.add_argument("--gradient_checkpointing", action="store_true")
+    p.add_argument("--remat_policy", choices=("full", "dots"),
+                   default="dots",
+                   help="what --gradient_checkpointing saves: 'dots' "
+                        "(default) = weight-matmul outputs (measured "
+                        "2.4x faster steps than 'full' for +10%% temp "
+                        "memory on v5e — PERF.md); 'full' = block inputs "
+                        "only (min memory, the reference's "
+                        "torch.utils.checkpoint semantics)")
     p.add_argument("--max_grad_norm", type=float, default=1.0)
     p.add_argument("--debug", action="store_true")
     p.add_argument("--debug_nans", action="store_true",
@@ -172,7 +188,10 @@ def build_dit(args, dtype):
         residual_v=args.residual_v,
         train_bias_and_rms=args.train_bias_and_rms,
         scan_layers=args.scan_layers,
+        pipeline_stages=max(args.pp, 1),
+        pipeline_microbatches=max(args.pp_microbatches, 1),
         gradient_checkpoint=args.gradient_checkpointing,
+        remat_policy=args.remat_policy,
         dtype=dtype,
         param_dtype=jnp.float32,  # master weights fp32; compute in `dtype`
     )
@@ -457,9 +476,17 @@ def train(args) -> dict:
 
     # mesh
     n_dev = len(jax.devices())
-    fsdp = args.fsdp or max(1, n_dev // (args.dp * args.tp))
-    mesh = create_mesh(dp=args.dp, fsdp=fsdp, tp=args.tp,
-                      devices=jax.devices()[: args.dp * fsdp * args.tp])
+    pp = max(args.pp, 1)
+    if pp > 1 and not args.scan_layers:
+        raise SystemExit("--pp > 1 requires --scan_layers")
+    if pp > 1 and args.sequence_dropout > 0:
+        raise SystemExit(
+            "--pp > 1 is incompatible with --sequence_dropout "
+            "(per-sample rope under token subsetting)"
+        )
+    fsdp = args.fsdp or max(1, n_dev // (args.dp * args.tp * pp))
+    mesh = create_mesh(dp=args.dp, fsdp=fsdp, tp=args.tp, pp=pp,
+                      devices=jax.devices()[: args.dp * fsdp * args.tp * pp])
     # activation sharding annotations (models/dit.py _constrain) engage
     # for every trace below
     from f_lite_tpu.parallel.mesh import (
@@ -472,8 +499,8 @@ def train(args) -> dict:
         raise ValueError("--sequence_parallel requires --tp > 1")
     rules = SP_RULES if args.sequence_parallel else LOGICAL_RULES
     use_mesh_rules(mesh, rules)
-    logger.info("mesh: dp=%d fsdp=%d tp=%d sp=%s", args.dp, fsdp, args.tp,
-                args.sequence_parallel)
+    logger.info("mesh: dp=%d pp=%d fsdp=%d tp=%d sp=%s", args.dp, pp, fsdp,
+                args.tp, args.sequence_parallel)
 
     # models
     model = build_dit(args, dtype)
@@ -502,6 +529,12 @@ def train(args) -> dict:
             load_text_encoder=False,
         )
         params = pipe.dit_params
+        if pp > 1 and "pipe" not in params["params"].get(
+            "blocks_all", params["params"].get("blocks_rest", {})
+        ):
+            from f_lite_tpu.parallel.pipeline import scan_to_pipeline_params
+
+            params = scan_to_pipeline_params(params, pp)
         if pipe.vae is not None and args.vae_path is None:
             vae, vae_params = pipe.vae, pipe.vae_params
     else:
