@@ -99,6 +99,10 @@ def main():
                          "F-Lite arch: hidden 3072 x 40, residual_v)")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny model (fast smoke; used by the test suite)")
+    ap.add_argument("--sp", action="store_true",
+                    help="audit with Megatron sequence parallelism "
+                        "(SP_RULES): the residual stream sequence-sharded "
+                        "over tp")
     ap.add_argument("--out", default="TP_CHECK.json")
     args = ap.parse_args()
 
@@ -183,10 +187,11 @@ def main():
         return denoise(model.apply, params, latents, pos, neg, mask,
                        settings)
 
-    from f_lite_tpu.parallel.mesh import mesh_rules
+    from f_lite_tpu.parallel.mesh import LOGICAL_RULES, SP_RULES, mesh_rules
 
+    rules = SP_RULES if args.sp else LOGICAL_RULES
     t0 = time.time()
-    with mesh_rules(mesh):
+    with mesh_rules(mesh, rules):
         compiled = jax.jit(fn).lower(*arg_structs).compile()
     compile_s = time.time() - t0
 
@@ -207,6 +212,7 @@ def main():
     record = {
         "ok": not bad and bool(collectives),
         "tp": args.tp,
+        "sequence_parallel": args.sp,
         "model": "tiny" if args.tiny else f"f-lite-{args.model}",
         "heads": cfg.num_heads,
         "padded_heads": cfg.padded_heads,
