@@ -130,6 +130,27 @@ class TestParity:
             )
 
 
+class TestComposition:
+    def test_pp_with_sequence_parallel(self):
+        # PP (stage axis) composes with Megatron SP (seq-sharded residual
+        # stream inside each stage) — both opt-in features, still exact
+        from f_lite_tpu.parallel.mesh import SP_RULES
+
+        model, params = _plain(V2_CFG)
+        x, c, m, t = _data()
+        ref = model.apply(params, x, c, m, t)
+
+        cfg = dataclasses.replace(
+            V2_CFG, pipeline_stages=2, pipeline_microbatches=2
+        )
+        mesh = create_mesh(dp=1, fsdp=1, tp=4, pp=2)
+        with mesh_rules(mesh, SP_RULES):
+            got = jax.jit(DiT(cfg).apply)(
+                scan_to_pipeline_params(params, 2), x, c, m, t
+            )
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 class TestLayout:
     def test_param_layout_round_trip(self):
         _, params = _plain(V1_CFG)
