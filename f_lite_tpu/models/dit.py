@@ -757,14 +757,14 @@ class PipelineTrunk(nn.Module):
                 f"{self.n_units} scan units"
             )
         b = tokens.shape[0]
-        if b == 1:
-            # batch-1 traces (init / eval_shape / debug forwards) can't be
-            # microbatched; params don't depend on num_mb, so degrade to a
-            # single microbatch instead of failing init
-            num_mb = 1
         if b % num_mb:
-            raise ValueError(
-                f"batch {b} not divisible by pipeline_microbatches={num_mb}"
+            # params don't depend on num_mb, so off-recipe batches (init
+            # traces with batch 1, eval-time image sampling with a handful
+            # of prompts) degrade to the largest microbatch count that
+            # divides b instead of failing — the configured num_mb only
+            # governs the training batch it was sized for
+            num_mb = next(
+                k for k in range(min(num_mb, b), 0, -1) if b % k == 0
             )
         bmb = b // num_mb
 

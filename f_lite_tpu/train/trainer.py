@@ -135,13 +135,13 @@ def parse_args(argv=None):
                    choices=["no", "bf16"])
     p.add_argument("--gradient_checkpointing", action="store_true")
     p.add_argument("--remat_policy", choices=("full", "dots"),
-                   default="dots",
-                   help="what --gradient_checkpointing saves: 'dots' "
-                        "(default) = weight-matmul outputs (measured "
-                        "2.4x faster steps than 'full' for +10%% temp "
-                        "memory on v5e — PERF.md); 'full' = block inputs "
-                        "only (min memory, the reference's "
-                        "torch.utils.checkpoint semantics)")
+                   default="full",
+                   help="what --gradient_checkpointing saves: 'full' "
+                        "(default) = block inputs only (min memory, the "
+                        "reference's torch.utils.checkpoint semantics); "
+                        "'dots' = also weight-matmul outputs (+10%% temp "
+                        "HBM, skips the bwd's forward recompute — "
+                        "measure on your pod, see PERF.md)")
     p.add_argument("--max_grad_norm", type=float, default=1.0)
     p.add_argument("--debug", action="store_true")
     p.add_argument("--debug_nans", action="store_true",

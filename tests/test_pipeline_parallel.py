@@ -190,10 +190,24 @@ class TestLayout:
         bad = dataclasses.replace(V2_CFG, pipeline_stages=3)
         with pytest.raises(ValueError, match="divide"):
             DiT(bad).init(jax.random.key(0), x, c, m, t)
-        bad = dataclasses.replace(V2_CFG, pipeline_stages=2,
-                                  pipeline_microbatches=3)
-        with pytest.raises(ValueError, match="not divisible"):
-            DiT(bad).init(jax.random.key(0), x, c, m, t)
+
+    def test_off_recipe_batch_degrades_microbatching(self):
+        # batches not divisible by pipeline_microbatches (init traces,
+        # eval-time sampling with a few prompts) fall back to the largest
+        # dividing microbatch count — still exact
+        model, params = _plain(V2_CFG)
+        cfg = dataclasses.replace(
+            V2_CFG, pipeline_stages=2, pipeline_microbatches=4
+        )
+        pp_params = scan_to_pipeline_params(params, 2)
+        mesh = create_mesh(dp=1, fsdp=1, tp=1, pp=2,
+                           devices=jax.devices()[:2])
+        for b in (1, 3, 6):
+            x, c, m, t = _data(b)
+            ref = model.apply(params, x, c, m, t)
+            with mesh_rules(mesh):
+                got = jax.jit(DiT(cfg).apply)(pp_params, x, c, m, t)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
 class TestSchedule:
