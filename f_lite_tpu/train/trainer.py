@@ -484,6 +484,13 @@ def train(args) -> dict:
             "--pp > 1 is incompatible with --sequence_dropout "
             "(per-sample rope under token subsetting)"
         )
+    if pp > 1 and args.train_batch_size % max(args.pp_microbatches, 1):
+        raise SystemExit(
+            f"--train_batch_size {args.train_batch_size} must be "
+            f"divisible by --pp_microbatches {args.pp_microbatches} "
+            "(the model degrades off-recipe batches silently, which is "
+            "meant for eval sampling, not the training step)"
+        )
     fsdp = args.fsdp or max(1, n_dev // (args.dp * args.tp * pp))
     mesh = create_mesh(dp=args.dp, fsdp=fsdp, tp=args.tp, pp=pp,
                       devices=jax.devices()[: args.dp * fsdp * args.tp * pp])
