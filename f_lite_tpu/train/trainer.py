@@ -662,9 +662,24 @@ def train(args) -> dict:
             Path(which).name
         )
         if step_no is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            # restore onto the mesh: params/moments keep their
+            # NamedShardings; scalar leaves (step, optax counters) were
+            # created off-mesh (uncommitted, single-device) — restoring
+            # them committed to device 0 would poison the first jitted
+            # step on any multi-device mesh, so pin them replicated
+            replicated = NamedSharding(mesh, PartitionSpec())
             abstract = jax.tree.map(
                 lambda x: jax.ShapeDtypeStruct(
-                    x.shape, x.dtype, sharding=getattr(x, "sharding", None)
+                    x.shape, x.dtype,
+                    sharding=(
+                        x.sharding
+                        if isinstance(
+                            getattr(x, "sharding", None), NamedSharding
+                        )
+                        else replicated
+                    ),
                 ),
                 state,
             )

@@ -82,6 +82,33 @@ class TestTrainLoop:
         result = train(args2)
         assert result["global_step"] == 4
 
+    def test_resume_pipeline_parallel(self, tmp_path):
+        # Orbax save/restore round-trips the pipeline param layout
+        # ((pp, units/stage, ...) leaves under <trunk>/pipe/stages) and
+        # eval-time sampling shares the pipelined model
+        root = _write_parquet_dataset(tmp_path)
+        out = tmp_path / "out"
+        pp_argv = [
+            "--model_depth", "4", "--scan_layers", "--cross_attn_all",
+            "--residual_v", "--train_batch_size", "8",
+            "--dp", "1", "--fsdp", "2", "--tp", "2", "--pp", "2",
+            "--pp_microbatches", "2",
+        ]
+        args = parse_args(_base_argv(root, out) + pp_argv + [
+            "--max_steps", "2", "--checkpointing_steps", "2",
+        ])
+        train(args)
+        args2 = parse_args(_base_argv(root, out) + pp_argv + [
+            "--max_steps", "4", "--checkpointing_steps", "2",
+            "--num_epochs", "2",
+            "--resume_from_checkpoint", "latest",
+            "--sample_every", "4",
+        ])
+        result = train(args2)
+        assert result["global_step"] == 4
+        assert np.isfinite(result["train/loss"])
+        assert (out / "samples" / "step_4.png").exists()
+
     def test_lora_training(self, tmp_path):
         root = _write_parquet_dataset(tmp_path)
         out = tmp_path / "out"
