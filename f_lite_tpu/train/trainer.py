@@ -484,12 +484,24 @@ def train(args) -> dict:
             "--pp > 1 is incompatible with --sequence_dropout "
             "(per-sample rope under token subsetting)"
         )
-    if pp > 1 and args.train_batch_size % max(args.pp_microbatches, 1):
+    if pp == 1 and args.pp_microbatches > 1:
         raise SystemExit(
-            f"--train_batch_size {args.train_batch_size} must be "
-            f"divisible by --pp_microbatches {args.pp_microbatches} "
-            "(the model degrades off-recipe batches silently, which is "
-            "meant for eval sampling, not the training step)"
+            "--pp_microbatches > 1 has no effect without --pp > 1 "
+            "(microbatches only stream through a multi-stage pipeline)"
+        )
+    # the model sees the GLOBAL batch: local batch x batch_multiplicity
+    # tiling x one slice per process (encode_batch/put_global_batch)
+    global_batch = (
+        args.train_batch_size * max(args.batch_multiplicity, 1)
+        * jax.process_count()
+    )
+    if pp > 1 and global_batch % max(args.pp_microbatches, 1):
+        raise SystemExit(
+            f"global batch {global_batch} (= train_batch_size x "
+            f"batch_multiplicity x process_count) must be divisible by "
+            f"--pp_microbatches {args.pp_microbatches} (the model "
+            "degrades off-recipe batches silently, which is meant for "
+            "eval sampling, not the training step)"
         )
     fsdp = args.fsdp or max(1, n_dev // (args.dp * args.tp * pp))
     mesh = create_mesh(dp=args.dp, fsdp=fsdp, tp=args.tp, pp=pp,
@@ -900,7 +912,22 @@ def train(args) -> dict:
                        rank=args.lora_rank)
             if train_lora_only else export_src
         )
-        export_pipe = FLitePipeline(model, eff, vae, vae_params, None)
+        export_model = model
+        if pp > 1:
+            # fold the GPipe layout back to the portable plain-scan
+            # layout: the exported artifact must serve on any mesh (tp
+            # only, single chip) without running the pipeline schedule
+            import dataclasses as _dc
+
+            from f_lite_tpu.models.dit import DiT
+            from f_lite_tpu.parallel.pipeline import pipeline_to_scan_params
+
+            eff = pipeline_to_scan_params(eff)
+            export_model = DiT(_dc.replace(
+                model.config, pipeline_stages=1, pipeline_microbatches=1
+            ))
+        export_pipe = FLitePipeline(export_model, eff, vae, vae_params,
+                                    None)
         export_dir = Path(args.output_dir) / "pipeline"
         export_pipe.save_pretrained(export_dir)
         logger.info("exported pipeline to %s", export_dir)

@@ -102,12 +102,25 @@ class TestTrainLoop:
             "--max_steps", "4", "--checkpointing_steps", "2",
             "--num_epochs", "2",
             "--resume_from_checkpoint", "latest",
-            "--sample_every", "4",
+            "--sample_every", "4", "--export_pipeline",
         ])
         result = train(args2)
         assert result["global_step"] == 4
         assert np.isfinite(result["train/loss"])
         assert (out / "samples" / "step_4.png").exists()
+        # the exported artifact is folded back to the portable plain-scan
+        # layout: no GPipe schedule baked into the servable pipeline
+        cfg = json.loads(
+            (out / "pipeline" / "dit" / "config.json").read_text()
+        )
+        assert cfg.get("pipeline_stages", 1) == 1
+        from f_lite_tpu.pipeline import FLitePipeline
+
+        pipe = FLitePipeline.from_pretrained(
+            out / "pipeline", load_text_encoder=False
+        )
+        trunk = pipe.dit_params["params"]["blocks_all"]
+        assert "pipe" not in trunk and "blk_0" in trunk
 
     def test_lora_training(self, tmp_path):
         root = _write_parquet_dataset(tmp_path)
