@@ -210,6 +210,30 @@ class TestLayout:
             np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+class TestTrainingAudit:
+    def test_pp_train_step_collective_audit_tiny(self, tmp_path):
+        # tools/pp_compile_check.py: the full training step (loss ->
+        # grad -> clip -> AdamW) on a (dp,pp,fsdp,tp) mesh must compile
+        # with >=1 pipeline permute and only axis-aligned collective
+        # groups (PP_CHECK.json is the 10B artifact of the same audit)
+        import json
+        import subprocess
+        import sys
+        from pathlib import Path
+
+        out = tmp_path / "pp_check.json"
+        root = Path(__file__).resolve().parent.parent
+        r = subprocess.run(
+            [sys.executable, str(root / "tools" / "pp_compile_check.py"),
+             "--tiny", "--out", str(out)],
+            capture_output=True, text=True, timeout=580,
+        )
+        assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+        rec = json.loads(out.read_text())
+        assert rec["ok"] and rec["pipeline_permutes"] >= 1
+        assert rec["bad_collectives"] == []
+
+
 class TestSchedule:
     def test_stage_shift_is_collective_permute(self):
         cfg = dataclasses.replace(
