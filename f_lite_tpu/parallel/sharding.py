@@ -76,9 +76,10 @@ def put_global_batch(x, sharding: NamedSharding):
     if jax.process_count() == 1:
         return jax.device_put(x, sharding)
     local = np.asarray(x)
-    global_shape = (
-        local.shape[0] * jax.process_count(),
-    ) + local.shape[1:]
-    return jax.make_array_from_process_local_data(
-        sharding, local, global_shape
-    )
+    # Let jax infer the global shape from the sharding: along dims whose
+    # shards partition across processes, global = local * (global shards
+    # / addressable shards); along dims this process fully addresses
+    # (e.g. the batch axis when a pipeline/tensor axis spans hosts and
+    # the batch is replicated over it), the local data IS global and
+    # every host must supply the same full batch.
+    return jax.make_array_from_process_local_data(sharding, local)

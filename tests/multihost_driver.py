@@ -101,12 +101,49 @@ def main():
     mask = put_global_batch(np.ones((local_b, 8), bool), bsh)
 
     state2, loss, metrics = step(state, jax.random.key(3), latents, ctx, mask)
+
+    # second leg: pipeline parallelism ACROSS the process boundary —
+    # mesh (dp=1, pp=2, fsdp=2, tp=2) puts stage 0 on process 0's four
+    # devices and stage 1 on process 1's, so the GPipe stage shift is a
+    # real cross-host collective-permute
+    import dataclasses
+
+    from f_lite_tpu.parallel.mesh import use_mesh_rules
+    from f_lite_tpu.parallel.pipeline import scan_to_pipeline_params
+
+    pp_mesh = create_mesh(dp=1, fsdp=2, tp=2, pp=2)
+    use_mesh_rules(pp_mesh)
+    pcfg = dataclasses.replace(
+        cfg, cross_attn_all=True, scan_layers=True, residual_v=True,
+        pipeline_stages=2, pipeline_microbatches=2,
+    )
+    pmodel = DiT(pcfg)
+    pinit = lambda: pmodel.init(jax.random.key(0), x0, c0, m0, t0)
+    psh = infer_param_shardings(pinit, pp_mesh)
+    pparams = shard_params(nn.meta.unbox(pinit()), psh)
+    pstate = init_train_state(pparams, opt)
+    pstep = make_train_step(pmodel.apply, opt, donate=False)
+    pbsh = batch_sharding(pp_mesh)
+    # the batch axis spans only (dp, fsdp) — all local to each process —
+    # so every host supplies the SAME full global batch (seeded
+    # identically); put_global_batch infers this from the sharding
+    rs2 = np.random.RandomState(7)
+    gb = 8
+    pl = put_global_batch(
+        rs2.randn(gb, 16, 16, 16).astype(np.float32), pbsh
+    )
+    pc = put_global_batch(rs2.randn(gb, 8, 64).astype(np.float32), pbsh)
+    pm = put_global_batch(np.ones((gb, 8), bool), pbsh)
+    _, pp_loss, pp_metrics = pstep(pstate, jax.random.key(4), pl, pc, pm)
+
     out = {
         "rank": rank,
         "indices": indices,
         "loss": float(loss),
         "grad_norm": float(metrics["grad_norm"]),
         "step": int(state2.step),
+        "pp_loss": float(pp_loss),
+        "pp_grad_norm": float(pp_metrics["grad_norm"]),
     }
     print("RESULT " + json.dumps(out), flush=True)
 

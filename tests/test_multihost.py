@@ -115,3 +115,10 @@ class TestTwoProcessTrainStep:
         assert np.isfinite(l0)
         assert l0 == pytest.approx(l1, rel=1e-6)
         assert results[0]["step"] == 1
+        # pipeline-parallel leg: stage 0 lives on process 0, stage 1 on
+        # process 1 — a finite agreeing loss means the GPipe stage shift
+        # ran as a real cross-host collective
+        p0, p1 = results[0]["pp_loss"], results[1]["pp_loss"]
+        assert np.isfinite(p0)
+        assert p0 == pytest.approx(p1, rel=1e-6)
+        assert results[0]["pp_grad_norm"] > 0
