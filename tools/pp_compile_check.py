@@ -65,6 +65,9 @@ def main():
     ap.add_argument("--model", default="10b", choices=("7b", "10b"))
     ap.add_argument("--tiny", action="store_true",
                     help="tiny model (fast smoke; used by the test suite)")
+    ap.add_argument("--sp", action="store_true",
+                    help="audit the training step under Megatron sequence "
+                        "parallelism (SP_RULES; requires --tp > 1)")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--microbatches", type=int, default=4)
     ap.add_argument("--out", default="PP_CHECK.json")
@@ -84,7 +87,7 @@ def main():
         create_mesh,
         infer_param_shardings,
     )
-    from f_lite_tpu.parallel.mesh import mesh_rules
+    from f_lite_tpu.parallel.mesh import LOGICAL_RULES, SP_RULES, mesh_rules
     from f_lite_tpu.train.loss import flow_matching_loss
     from f_lite_tpu.train.optim import build_optimizer
 
@@ -121,7 +124,10 @@ def main():
             jnp.zeros((1,), dtype),
         )
 
-    with mesh_rules(mesh):
+    if args.sp and args.tp <= 1:
+        raise SystemExit("--sp requires --tp > 1")
+    rules = SP_RULES if args.sp else LOGICAL_RULES
+    with mesh_rules(mesh, rules):
         shardings = infer_param_shardings(boxed_init, mesh)
         abstract = nn.meta.unbox(jax.eval_shape(boxed_init))
         p_structs = jax.tree.map(
@@ -191,7 +197,9 @@ def main():
                 bad.append(kind)
 
     record = {
-        "ok": not bad and n_permute >= 1 and bool(collectives),
+        "ok": (not bad and bool(collectives)
+               and (n_permute >= 1 or args.pp == 1)),
+        "sequence_parallel": args.sp,
         "mesh": shape,
         "model": "tiny" if args.tiny else f"f-lite-{args.model}",
         "microbatches": args.microbatches,
