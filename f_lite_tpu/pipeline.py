@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import logging
 from pathlib import Path
 from typing import Any, Sequence
 
@@ -90,6 +91,9 @@ def load_params_safetensors(path: Path):
     from safetensors.numpy import load_file
 
     return _unflatten_params(load_file(str(path)))
+
+
+logger = logging.getLogger("f_lite_tpu.pipeline")
 
 
 def _config_kwargs(cls, d: dict) -> dict:
@@ -194,6 +198,8 @@ class FLitePipeline:
         }
         if pad_heads_to:
             cfg_kwargs["padded_heads"] = pad_heads_to
+        pp_saved = int(cfg_kwargs.pop("pipeline_stages", 1) or 1)
+        cfg_kwargs.pop("pipeline_microbatches", None)
         dit_cfg = DiTConfig(**cfg_kwargs, dtype=dtype, param_dtype=dtype)
         dit = DiT(dit_cfg)
         dit_params = jax.tree.map(
@@ -202,6 +208,21 @@ class FLitePipeline:
                 path / "dit" / "flax_params.safetensors"
             )},
         )
+        if pp_saved > 1:
+            # a checkpoint saved mid-training with --pp (the trainer's
+            # --export_pipeline folds this, but hand-saved trees may
+            # not be): fold the GPipe layout back to the plain scan
+            # trunk so serving never runs the pipeline schedule
+            from f_lite_tpu.parallel.pipeline import (
+                pipeline_to_scan_params,
+            )
+
+            logger.warning(
+                "checkpoint was saved in pipeline-parallel layout "
+                "(pipeline_stages=%d); folding to the plain scan trunk "
+                "for serving", pp_saved,
+            )
+            dit_params = pipeline_to_scan_params(dit_params)
         if pad_heads_to:
             from f_lite_tpu.convert.torch_to_jax import pad_head_params
 

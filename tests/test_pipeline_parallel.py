@@ -181,6 +181,33 @@ class TestLayout:
         assert qkv.spec[0] == "pp"
         assert qkv.spec[2] == "fsdp"
 
+    def test_from_pretrained_folds_pipeline_layout(self, tmp_path):
+        # a hand-saved pipeline-layout checkpoint (trainer exports fold
+        # this, but save_pretrained of a live pp model does not) loads as
+        # the plain scan trunk — serving never runs the GPipe schedule
+        from f_lite_tpu.models.vae import AutoencoderKL, VAEConfig
+        from f_lite_tpu.pipeline import FLitePipeline
+
+        model, params = _plain(V2_CFG)
+        x, c, m, t = _data(2)
+        ref = model.apply(params, x, c, m, t)
+
+        pcfg = dataclasses.replace(
+            V2_CFG, pipeline_stages=2, pipeline_microbatches=2
+        )
+        vae = AutoencoderKL(VAEConfig())
+        vp = vae.init(jax.random.key(3), jnp.zeros((1, 16, 16, 3)),
+                      jax.random.key(4), method=AutoencoderKL.encode)
+        FLitePipeline(
+            DiT(pcfg), scan_to_pipeline_params(params, 2), vae, vp, None
+        ).save_pretrained(tmp_path / "ckpt")
+        loaded = FLitePipeline.from_pretrained(
+            tmp_path / "ckpt", dtype=jnp.float32, load_text_encoder=False
+        )
+        assert loaded.dit_model.config.pipeline_stages == 1
+        out = loaded.dit_model.apply(loaded.dit_params, x, c, m, t)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
     def test_rejects_unpipelineable_configs(self):
         x, c, m, t = _data()
         bad = dataclasses.replace(V2_CFG, scan_layers=False,
