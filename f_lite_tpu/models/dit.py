@@ -23,6 +23,11 @@ Design departures from the CUDA reference, deliberate and TPU-first:
   repeat_interleave materialization (`model.py:553-556`).
 - fp32 islands match the reference exactly: RMS norms, QK-norm, RoPE,
   timestep embedding; everything else in `dtype` (bf16 on TPU).
+- parallelism beyond the reference's FSDP: Megatron TP via logical-axis
+  annotations (`_constrain`), opt-in sequence parallelism (ACT_SEQ +
+  parallel/mesh.py SP_RULES), and GPipe pipeline parallelism over the
+  block stack (`PipelineTrunk`, `pipeline_stages`/`pipeline_microbatches`
+  config) — all bit-exact vs the single-device program.
 
 Parameter tree is named to mirror the torch state dict one-to-one for
 checkpoint conversion (see `f_lite_tpu/convert/torch_to_jax.py`).
