@@ -1,3 +1,7 @@
+from f_lite_tpu.convert.jax_to_torch import (
+    invert_dit_params,
+    invert_vae_params,
+)
 from f_lite_tpu.convert.torch_to_jax import (
     convert_dit_state_dict,
     convert_vae_state_dict,
@@ -7,5 +11,7 @@ from f_lite_tpu.convert.torch_to_jax import (
 __all__ = [
     "convert_dit_state_dict",
     "convert_vae_state_dict",
+    "invert_dit_params",
+    "invert_vae_params",
     "load_torch_state_dict",
 ]

@@ -9,8 +9,15 @@ Inputs:
 - `--hf_dir <dir>`           diffusers save_pretrained layout: DiT weights
                              under dit_model/ (or transformer/), VAE under
                              vae/, text encoder + tokenizer as HF dirs
+- `--export_torch <dir>`     REVERSE direction: a framework checkpoint dir
+                             (dit/config.json + flax_params.safetensors) ->
+                             the reference's diffusers repo layout
+                             (`f_lite_to_hf.py:57-132`: dit_model/, vae/,
+                             model_index.json) plus, with `--pt_file`, a raw
+                             torch `.pt` state dict loadable by `pt.py:15`.
 Output: `--output_dir` in the layout `FLitePipeline.from_pretrained` reads
-(dit/config.json + flax_params.safetensors, vae/..., text_encoder passthru).
+(dit/config.json + flax_params.safetensors, vae/..., text_encoder passthru),
+or — for `--export_torch` — the reference-consumable layout above.
 
 A `--test_image` smoke test (like `f_lite_to_hf.py:100-120`) generates a
 small image through the converted pipeline before declaring success.
@@ -20,6 +27,8 @@ Usage:
       --output_dir ./f-lite-7b-tpu
   python tools/convert_checkpoint.py --hf_dir Freepik_F-Lite_snapshot \
       --output_dir ./f-lite-tpu --test_image
+  python tools/convert_checkpoint.py --export_torch ./f-lite-7b-tpu \
+      --output_dir ./f-lite-7b-hf --pt_file ./f_lite_7b_roundtrip.pt
 """
 
 from __future__ import annotations
@@ -42,7 +51,12 @@ def parse_args(argv=None):
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--pt", type=str, help="raw .pt DiT state dict")
     src.add_argument("--hf_dir", type=str, help="diffusers-layout dir")
+    src.add_argument("--export_torch", type=str, metavar="CKPT_DIR",
+                     help="reverse: framework checkpoint dir -> torch/HF")
     p.add_argument("--output_dir", required=True)
+    p.add_argument("--pt_file", type=str, default=None,
+                   help="(with --export_torch) also write a raw torch .pt "
+                        "state dict at this path (pt.py:15-compatible)")
     # .pt-path architecture flags (`pt.py:24-33` defaults)
     p.add_argument("--width", type=int, default=3072)
     p.add_argument("--head_dim", type=int, default=256)
@@ -127,7 +141,12 @@ def _dit_config_from_sd(sd, args, hf_config=None):
         hidden_size=width,
         depth=infer_depth(sd),
         num_heads=width // args.head_dim,
-        mlp_ratio=args.mlp_ratio,
+        # the MLP width is directly visible in the state dict; the flag is
+        # only a fallback for exotic layouts
+        mlp_ratio=(
+            sd["blocks.0.mlp.gate_proj.weight"].shape[0] / width
+            if "blocks.0.mlp.gate_proj.weight" in sd else args.mlp_ratio
+        ),
         cross_attn_input_size=sd["context_proj.weight"].shape[1],
         train_bias_and_rms="final_norm.weight" in sd,
         residual_v=args.residual_v
@@ -135,9 +154,97 @@ def _dit_config_from_sd(sd, args, hf_config=None):
     )
 
 
+def export_torch(args):
+    """Framework checkpoint -> reference-consumable torch/HF formats.
+
+    Mirrors the reference converter's output layout (`f_lite_to_hf.py`:
+    `pipe.save_pretrained` produces dit_model/, vae/, text_encoder/,
+    tokenizer/ + model_index.json). The DiT/VAE safetensors carry the
+    reference's exact torch key set and shapes, so the dirs load through
+    the reference's own `pt.py` / diffusers paths shape-wise.
+    """
+    import json as _json
+
+    import numpy as np
+
+    from f_lite_tpu.convert import invert_dit_params, invert_vae_params
+    from f_lite_tpu.convert.jax_to_torch import (
+        reference_dit_config,
+        reference_vae_config,
+    )
+    from f_lite_tpu.models.dit import DiTConfig
+    from f_lite_tpu.models.vae import VAEConfig
+    from f_lite_tpu.pipeline import _config_kwargs, load_params_safetensors
+
+    ck = Path(args.export_torch)
+    out = Path(args.output_dir)
+    cfg_d = _json.loads((ck / "dit" / "config.json").read_text())
+    cfg = DiTConfig(**_config_kwargs(DiTConfig, cfg_d))
+    params = {"params": load_params_safetensors(
+        ck / "dit" / "flax_params.safetensors"
+    )}
+    sd = invert_dit_params(params, cfg)
+    sd = {k: np.asarray(v, np.float32) for k, v in sd.items()}
+    logger.info(
+        "inverted DiT: width=%d depth=%d heads=%d (%d tensors)",
+        cfg.hidden_size, cfg.depth, cfg.num_heads, len(sd),
+    )
+
+    from safetensors.numpy import save_file
+
+    (out / "dit_model").mkdir(parents=True, exist_ok=True)
+    save_file(sd, str(out / "dit_model" / "diffusion_pytorch_model.safetensors"))
+    (out / "dit_model" / "config.json").write_text(
+        _json.dumps(reference_dit_config(cfg), indent=2)
+    )
+
+    index = {
+        "_class_name": "FLitePipeline",
+        "dit_model": ["f_lite.model", "DiT"],
+        "vae": ["diffusers", "AutoencoderKL"],
+    }
+    vae_ck = ck / "vae"
+    if vae_ck.exists():
+        vcfg_d = _json.loads((vae_ck / "config.json").read_text())
+        vcfg = VAEConfig(**_config_kwargs(VAEConfig, {
+            **vcfg_d,
+            "block_out_channels": tuple(vcfg_d["block_out_channels"]),
+        }))
+        vsd = invert_vae_params(
+            {"params": load_params_safetensors(
+                vae_ck / "flax_params.safetensors"
+            )},
+            vcfg,
+        )
+        vsd = {k: np.asarray(v, np.float32) for k, v in vsd.items()}
+        (out / "vae").mkdir(exist_ok=True)
+        save_file(vsd, str(out / "vae" / "diffusion_pytorch_model.safetensors"))
+        (out / "vae" / "config.json").write_text(
+            _json.dumps(reference_vae_config(vcfg), indent=2)
+        )
+        logger.info("inverted VAE (%d tensors)", len(vsd))
+    for sub in ("text_encoder", "tokenizer"):
+        if (ck / sub).exists():
+            shutil.copytree(ck / sub, out / sub, dirs_exist_ok=True)
+            index[sub] = ["transformers", "AutoModel"]
+    (out / "model_index.json").write_text(_json.dumps(index, indent=2))
+
+    if args.pt_file:
+        import torch
+
+        torch.save(
+            {k: torch.from_numpy(v) for k, v in sd.items()}, args.pt_file
+        )
+        logger.info("raw torch state dict written to %s", args.pt_file)
+    logger.info("torch/HF export written to %s", out)
+    return out
+
+
 def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     args = parse_args(argv)
+    if args.export_torch:
+        return export_torch(args)
 
     import numpy as np
 

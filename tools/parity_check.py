@@ -4,10 +4,22 @@ North-star gate (BASELINE.md): per-step latent MSE < 1e-3 vs the PyTorch
 reference. Noise and timesteps are injected (not generator-derived) since
 torch and JAX RNGs differ (SURVEY.md §7.3).
 
-Runs a full Euler trajectory with the SAME initial noise through (a) the
+Runs a full Euler trajectory with the SAME initial noise through (a) a
 torch oracle denoiser loop and (b) the jitted JAX sampler, reporting
-per-step latent MSE. Works on a random checkpoint (default) or a converted
-one (--checkpoint).
+per-step latent MSE.
+
+Two modes:
+- default: a random tiny model (state dict generated torch-side, converted).
+- `--checkpoint DIR`: a converted framework checkpoint. Its flax params are
+  INVERTED back to a torch state dict (convert/jax_to_torch.py — the round
+  trip is bitwise exact, tests/test_convert_roundtrip.py) and the torch
+  side runs that state dict through the ACTUAL reference model code
+  (`/root/reference/f_lite/model.py` via tests/ref_stubs.py) when the
+  architecture is representable there (the in-repo reference has no
+  `residual_v` and hardcodes the v1 cross-attn pattern — SURVEY.md §0.1.2);
+  otherwise through tests/torch_oracle.py, which is itself pinned to the
+  reference by tests/test_reference_parity.py::TestOracleAgreesWithReference.
+  Select explicitly with --oracle reference|spec.
 
   python tools/parity_check.py --steps 8 --size 256 [--bf16]
   python tools/parity_check.py --checkpoint ./f-lite-7b-tpu --steps 30
@@ -28,14 +40,89 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--checkpoint", type=str, default=None,
                    help="converted checkpoint dir (default: random tiny)")
+    p.add_argument("--oracle", choices=("auto", "reference", "spec"),
+                   default="auto",
+                   help="torch side: the real reference model code, the "
+                        "spec oracle (tests/torch_oracle.py), or auto "
+                        "(reference when the config is representable)")
     p.add_argument("--steps", type=int, default=8)
     p.add_argument("--size", type=int, default=256, help="image px")
     p.add_argument("--guidance_scale", type=float, default=6.0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--bf16", action="store_true",
                    help="run the JAX side in bf16 (parity bound loosens)")
+    p.add_argument("--context_len", type=int, default=16)
     p.add_argument("--threshold", type=float, default=1e-3)
+    p.add_argument("--json_out", type=str, default=None,
+                   help="write per-step MSE records to this JSON file")
     return p.parse_args(argv)
+
+
+def _reference_representable(cfg) -> bool:
+    """Can /root/reference/f_lite/model.py express this architecture?
+
+    The in-repo reference DiT (`model.py:419-433`) has no residual_v
+    (SURVEY.md §0.1.2), shared AdaLN only, and hardcodes cross-attn on
+    `idx % 4 == 0 or idx < 8` (`model.py:464`).
+    """
+    return (
+        not cfg.residual_v
+        and cfg.adaln_mode == "shared"
+        and not cfg.cross_attn_all
+        and cfg.cross_attn_first_n == 8
+        and cfg.cross_attn_period == 4
+    )
+
+
+def _make_reference_fn(sd_np, cfg):
+    """Load the inverted state dict into the real reference model."""
+    import torch
+
+    from ref_stubs import load_reference_model
+
+    ref_mod = load_reference_model("model")
+    model = ref_mod.DiT(
+        in_channels=cfg.in_channels,
+        patch_size=cfg.patch_size,
+        hidden_size=cfg.hidden_size,
+        depth=cfg.depth,
+        num_heads=cfg.num_heads,
+        mlp_ratio=cfg.mlp_ratio,
+        cross_attn_input_size=cfg.cross_attn_input_size,
+        train_bias_and_rms=cfg.train_bias_and_rms,
+        use_rope=cfg.use_rope,
+        rope_base=int(cfg.rope_base),
+        dynamic_softmax_temperature=cfg.dynamic_softmax_temperature,
+    )
+    missing, unexpected = model.load_state_dict(
+        {k: torch.from_numpy(v) for k, v in sd_np.items()}, strict=False
+    )
+    if unexpected:
+        raise ValueError(f"unexpected keys for reference model: {unexpected}")
+    buffers = {k for k, _ in model.named_buffers()}
+    stray = set(missing) - buffers
+    if stray:
+        raise ValueError(f"missing parameter keys: {sorted(stray)}")
+    model.eval()
+
+    @torch.no_grad()
+    def fn(z_nchw, ctx, mask, t):
+        return model(z_nchw, ctx, mask.float(), t)
+
+    return fn, "reference (/root/reference/f_lite/model.py)"
+
+
+def _make_spec_fn(sd_np, cfg):
+    import torch
+
+    from torch_oracle import oracle_dit_forward
+
+    sd = {k: torch.from_numpy(v) for k, v in sd_np.items()}
+
+    def fn(z_nchw, ctx, mask, t):
+        return oracle_dit_forward(sd, cfg, z_nchw, ctx, mask, t)
+
+    return fn, "spec oracle (tests/torch_oracle.py)"
 
 
 def main(argv=None):
@@ -46,10 +133,10 @@ def main(argv=None):
     import numpy as np
     import torch
 
-    from f_lite_tpu.convert import convert_dit_state_dict
+    from f_lite_tpu.convert import convert_dit_state_dict, invert_dit_params
     from f_lite_tpu.models.dit import DiT, DiTConfig
     from f_lite_tpu.ops.timesteps import resolution_alpha, shift_t
-    from torch_oracle import make_random_state_dict, oracle_dit_forward
+    from torch_oracle import make_random_state_dict
 
     rs = np.random.RandomState(args.seed)
 
@@ -58,27 +145,41 @@ def main(argv=None):
         cfg_d = json.loads((ck / "dit" / "config.json").read_text())
         from f_lite_tpu.pipeline import _config_kwargs, load_params_safetensors
 
-        cfg = DiTConfig(**_config_kwargs(DiTConfig, cfg_d),
-                        use_pallas_attention=False)
+        cfg = DiTConfig(**{
+            **_config_kwargs(DiTConfig, cfg_d),
+            "use_pallas_attention": False,
+        })
         flax_params = {"params": load_params_safetensors(
             ck / "dit" / "flax_params.safetensors")}
-        raise SystemExit(
-            "checkpoint mode requires the matching torch state dict for the "
-            "oracle side; use tests/test_parity.py patterns for converted "
-            "checkpoints, or run without --checkpoint for the random harness"
+        sd_np = invert_dit_params(flax_params, cfg)
+    else:
+        cfg = DiTConfig(
+            in_channels=16, patch_size=2, hidden_size=128, depth=4,
+            num_heads=4, mlp_ratio=2.0, cross_attn_input_size=64,
+            residual_v=True, use_pallas_attention=False,
         )
-    cfg = DiTConfig(
-        in_channels=16, patch_size=2, hidden_size=128, depth=4,
-        num_heads=4, mlp_ratio=2.0, cross_attn_input_size=64,
-        residual_v=True, use_pallas_attention=False,
+        sd = make_random_state_dict(cfg, seed=args.seed)
+        sd_np = {k: v.numpy() for k, v in sd.items()}
+        flax_params = convert_dit_state_dict(sd_np, cfg)
+
+    oracle = args.oracle
+    if oracle == "auto":
+        oracle = "reference" if _reference_representable(cfg) else "spec"
+    if oracle == "reference" and not _reference_representable(cfg):
+        raise SystemExit(
+            "--oracle reference: this architecture is not representable in "
+            "the in-repo reference model (residual_v / per-block AdaLN / "
+            "non-default cross pattern — SURVEY.md §0.1.2); use "
+            "--oracle spec"
+        )
+    torch_fn, oracle_desc = (
+        _make_reference_fn(sd_np, cfg) if oracle == "reference"
+        else _make_spec_fn(sd_np, cfg)
     )
-    sd = make_random_state_dict(cfg, seed=args.seed)
-    flax_params = convert_dit_state_dict(
-        {k: v.numpy() for k, v in sd.items()}, cfg
-    )
+    print(f"torch side: {oracle_desc}")
 
     lat = args.size // 8
-    b, s = 1, 16
+    b, s = 1, args.context_len
     z0 = rs.randn(b, cfg.in_channels, lat, lat).astype(np.float32)
     ctx = rs.randn(b, s, cfg.cross_attn_input_size).astype(np.float32)
     neg = np.zeros_like(ctx)
@@ -104,6 +205,7 @@ def main(argv=None):
     z_t = np.transpose(z0, (0, 2, 3, 1)).copy()      # jax NHWC
     z_o = torch.from_numpy(z0.copy())                # torch NCHW
 
+    records = []
     worst = 0.0
     print(f"{'step':>4} {'t':>8} {'latent MSE':>12} {'max|d|':>10}")
     for i in range(args.steps, 0, -1):
@@ -111,12 +213,12 @@ def main(argv=None):
         t_next = shift_t((i - 1) / args.steps, alpha)
         dt = t - t_next
 
-        # torch oracle CFG step
+        # torch CFG step
         tt = torch.full((b,), float(t))
-        v_pos = oracle_dit_forward(sd, cfg, z_o, torch.from_numpy(ctx),
-                                   torch.from_numpy(mask), tt)
-        v_neg = oracle_dit_forward(sd, cfg, z_o, torch.from_numpy(neg),
-                                   torch.from_numpy(mask), tt)
+        v_pos = torch_fn(z_o, torch.from_numpy(ctx),
+                         torch.from_numpy(mask), tt)
+        v_neg = torch_fn(z_o, torch.from_numpy(neg),
+                         torch.from_numpy(mask), tt)
         v_o = v_neg + g * (v_pos - v_neg)
         z_o = z_o + dt * v_o
 
@@ -126,12 +228,20 @@ def main(argv=None):
         diff = z_t.transpose(0, 3, 1, 2) - z_o.numpy()
         mse = float((diff ** 2).mean())
         worst = max(worst, mse)
+        records.append({"step": args.steps - i + 1, "t": float(t),
+                        "mse": mse, "max_abs": float(np.abs(diff).max())})
         print(f"{args.steps - i + 1:>4} {t:>8.4f} {mse:>12.3e} "
               f"{np.abs(diff).max():>10.3e}")
 
     ok = worst < args.threshold
     print(f"\nworst per-step latent MSE: {worst:.3e} "
           f"({'PASS' if ok else 'FAIL'} @ {args.threshold})")
+    if args.json_out:
+        Path(args.json_out).write_text(json.dumps({
+            "oracle": oracle_desc, "steps": args.steps, "size": args.size,
+            "bf16": args.bf16, "worst_mse": worst,
+            "threshold": args.threshold, "ok": ok, "per_step": records,
+        }, indent=2))
     return 0 if ok else 1
 
 
