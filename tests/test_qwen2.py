@@ -110,3 +110,94 @@ def test_vl_prefix_conversion(torch_model):
     params = convert_qwen2_state_dict(sd, cfg)
     assert "layers_0" in params["params"]
     assert params["params"]["layers_0"]["q_proj"]["kernel"].shape == (64, 64)
+
+
+class TestQwen25VLOracle:
+    """Parity against the ACTUAL Qwen2.5-VL language tower class.
+
+    The HEAD reference conditions on Qwen2.5-VL
+    (`/root/reference/f_lite/pipeline.py:14,153-154`), whose text model
+    uses multimodal rope (mrope). The Flax tower's correctness argument —
+    "for text-only inputs the 3 mrope position streams are equal, so mrope
+    collapses to 1D rope" (text/qwen2.py docstring) — is tested here
+    against a tiny random `Qwen2_5_VLTextModel` instead of being assumed.
+    """
+
+    @pytest.fixture(scope="class")
+    def vl_model(self):
+        from transformers.models.qwen2_5_vl import Qwen2_5_VLTextConfig
+        from transformers.models.qwen2_5_vl.modeling_qwen2_5_vl import (
+            Qwen2_5_VLTextModel,
+        )
+
+        torch.manual_seed(1)
+        cfg = Qwen2_5_VLTextConfig(
+            **TINY, max_position_embeddings=256, tie_word_embeddings=False,
+            # head_dim 16 -> half 8; sections sum to 8 like the real
+            # [16, 24, 24] sums to half of head_dim 128
+            rope_scaling={"type": "mrope", "mrope_section": [2, 3, 3]},
+            attn_implementation="eager",
+        )
+        m = Qwen2_5_VLTextModel(cfg)
+        m.eval()
+        return m
+
+    @pytest.mark.parametrize("return_index", [-1, -3])
+    def test_text_only_hidden_state_parity(self, vl_model, return_index):
+        import jax
+        import jax.numpy as jnp
+
+        rs = np.random.RandomState(7)
+        ids = rs.randint(0, 128, (2, 12))
+        mask = np.ones((2, 12), np.int32)
+
+        with torch.no_grad():
+            out = vl_model(
+                input_ids=torch.from_numpy(ids),
+                attention_mask=torch.from_numpy(mask),
+                output_hidden_states=True,
+            )
+        ref = out.hidden_states[return_index].numpy()
+
+        cfg = Qwen2Config(**TINY)
+        sd = {k: v.detach().numpy() for k, v in vl_model.state_dict().items()}
+        params = jax.tree.map(
+            jnp.asarray, convert_qwen2_state_dict(sd, cfg)
+        )
+        model = Qwen2Encoder(cfg, return_index=return_index)
+        got = np.asarray(
+            model.apply(params, jnp.asarray(ids), jnp.asarray(mask))
+        )
+        np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+    def test_right_padding_parity(self, vl_model):
+        import jax
+        import jax.numpy as jnp
+
+        rs = np.random.RandomState(8)
+        ids = rs.randint(0, 128, (2, 16))
+        mask = np.zeros((2, 16), np.int32)
+        mask[0, :16] = 1
+        mask[1, :11] = 1
+
+        with torch.no_grad():
+            out = vl_model(
+                input_ids=torch.from_numpy(ids),
+                attention_mask=torch.from_numpy(mask),
+                output_hidden_states=True,
+            )
+        ref = out.hidden_states[-2].numpy()
+
+        cfg = Qwen2Config(**TINY)
+        sd = {k: v.detach().numpy() for k, v in vl_model.state_dict().items()}
+        params = jax.tree.map(
+            jnp.asarray, convert_qwen2_state_dict(sd, cfg)
+        )
+        model = Qwen2Encoder(cfg, return_index=-2)
+        got = np.asarray(
+            model.apply(params, jnp.asarray(ids), jnp.asarray(mask))
+        )
+        np.testing.assert_allclose(got[0], ref[0], atol=2e-4, rtol=1e-3)
+        np.testing.assert_allclose(
+            got[1, :11], ref[1, :11], atol=2e-4, rtol=1e-3
+        )
