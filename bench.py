@@ -43,29 +43,21 @@ def bench_text_encode(batch: int, text_len: int = 128) -> float | None:
     import jax
     import jax.numpy as jnp
 
-    try:
-        from transformers import FlaxT5EncoderModel, T5Config
-    except ImportError:
-        return None
+    from f_lite_tpu.text.t5 import T5Config, T5EncoderStack
 
-    cfg = T5Config(  # T5-XXL (FLUX.1-schnell text_encoder_2 shape)
-        d_model=4096, d_ff=10240, num_layers=24, num_heads=64, d_kv=64,
-        vocab_size=32128,
-    )
-    model = FlaxT5EncoderModel(cfg, _do_init=False, dtype=jnp.bfloat16)
+    # T5-XXL (FLUX.1-schnell text_encoder_2 shape), native in-repo stack
+    cfg = T5Config(dtype=jnp.bfloat16, param_dtype=jnp.bfloat16)
+    model = T5EncoderStack(cfg, return_index=-8)
     ids = jnp.ones((batch, text_len), jnp.int32)
     mask = jnp.ones((batch, text_len), jnp.int32)
     shapes = jax.eval_shape(
-        lambda: model.module.init(jax.random.key(0), ids, mask)
+        lambda: model.init(jax.random.key(0), ids, mask)
     )
     params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
     @jax.jit
     def encode(params, ids, mask):
-        out = model.module.apply(
-            params, ids, mask, output_hidden_states=True
-        )
-        return out.hidden_states[-8].astype(jnp.bfloat16)
+        return model.apply(params, ids, mask).astype(jnp.bfloat16)
 
     def run():
         return float(jnp.sum(encode(params, ids, mask).astype(jnp.float32)))

@@ -53,7 +53,11 @@ def _pad_to_multiple(ids_list, pad_id, multiple, max_len):
 
 
 class T5TextEncoder:
-    """Flax T5 encoder (e.g. T5-XXL from FLUX.1-schnell subfolders)."""
+    """Native Flax T5 encoder (e.g. T5-XXL from FLUX.1-schnell subfolders).
+
+    Loads the HF dir's torch weights into the in-repo `text/t5.py` stack —
+    no transformers Flax classes (they are deprecated for removal in v5).
+    """
 
     def __init__(
         self,
@@ -65,19 +69,24 @@ class T5TextEncoder:
         pad_to_multiple_of: int = 8,
         dtype=None,
     ):
+        import jax
         import jax.numpy as jnp
-        from transformers import AutoTokenizer, FlaxT5EncoderModel
+        from transformers import AutoTokenizer
+
+        from f_lite_tpu.text.t5 import load_t5_encoder
 
         self.tokenizer = AutoTokenizer.from_pretrained(
             tokenizer_path or model_path
         )
-        self.model = FlaxT5EncoderModel.from_pretrained(
-            model_path, dtype=dtype or jnp.bfloat16
+        self.model, self.params, cfg = load_t5_encoder(
+            model_path, return_index=return_index,
+            dtype=dtype or jnp.bfloat16,
         )
         self.return_index = return_index
         self.max_sequence_length = max_sequence_length
         self.pad_to_multiple_of = pad_to_multiple_of
-        self.embed_dim = self.model.config.d_model
+        self.embed_dim = cfg.d_model
+        self._apply = jax.jit(self.model.apply)
 
     def encode(self, prompts):
         import jax.numpy as jnp
@@ -90,14 +99,12 @@ class T5TextEncoder:
             truncation=True,
             return_tensors="np",
         )
-        out = self.model(
-            input_ids=jnp.asarray(enc["input_ids"]),
-            attention_mask=jnp.asarray(enc["attention_mask"]),
-            output_hidden_states=True,
+        out = self._apply(
+            self.params,
+            jnp.asarray(enc["input_ids"]),
+            jnp.asarray(enc["attention_mask"]),
         )
-        emb = np.asarray(
-            out.hidden_states[self.return_index], dtype=np.float32
-        )
+        emb = np.asarray(out, dtype=np.float32)
         return emb, enc["attention_mask"].astype(bool)
 
 

@@ -10,14 +10,19 @@ class TestT5Encoder:
     @pytest.fixture(scope="class")
     def t5_dir(self, tmp_path_factory):
         d = tmp_path_factory.mktemp("t5")
-        from transformers import FlaxT5EncoderModel, T5Config
+        # torch weights, like real HF text-encoder dirs (the native
+        # text/t5.py loader consumes torch safetensors directly)
+        from transformers import T5Config, T5EncoderModel
 
         cfg = T5Config(
             vocab_size=256, d_model=32, d_kv=8, d_ff=64, num_layers=4,
-            num_heads=4,
+            num_heads=4, dropout_rate=0.0,
         )
-        model = FlaxT5EncoderModel(cfg, seed=0)
-        model.save_pretrained(d)
+        import torch
+
+        torch.manual_seed(0)
+        model = T5EncoderModel(cfg)
+        model.save_pretrained(d, safe_serialization=True)
         # minimal whitespace tokenizer files aren't needed: use a real
         # small tokenizer class — bert's basic tokenizer needs vocab; use
         # a trivial PreTrainedTokenizerFast built from scratch
