@@ -79,6 +79,9 @@ def main():
 
     from f_lite_tpu.models.dit import DiT, DiTConfig
     from f_lite_tpu.models.vae import AutoencoderKL, VAEConfig
+    from f_lite_tpu.utils.env import enable_compilation_cache
+
+    enable_compilation_cache()
     from f_lite_tpu.sampling.euler import (
         DenoiseSettings,
         auto_steps_per_dispatch,

@@ -119,6 +119,7 @@ class ImageDataset:
         base_url: str = "dummy://",
         retries: int = 3,
         debug: bool = False,
+        seed: int = 0,
     ):
         self.image_column = image_column
         self.caption_column = caption_column
@@ -126,6 +127,7 @@ class ImageDataset:
         self.max_ratio = 1.0 if center_crop else 2.0
         self.random_flip = random_flip
         self.retries = retries
+        self.seed = seed
         self.data = self._load_metadata(
             data_path, base_image_dir, root_dir_type, debug
         )
@@ -299,10 +301,15 @@ class ImageDataset:
     # ---- items ----------------------------------------------------------
     def __getitem__(self, idx: int) -> dict[str, Any]:
         sample = self.data.iloc[idx]
+        # per-item RNG seeded by (dataset seed, idx): sample-local choices
+        # (caption pick, flip) don't depend on global stream position, so
+        # a resumed run replays exactly what the straight run drew
+        # (the reference's global `random` here breaks resume determinism)
+        item_rng = random.Random((self.seed or 0) * 2654435761 + idx)
         caption = sample.get(self.caption_column, "")
         if isinstance(caption, (tuple, list, np.ndarray)):
             caption = list(caption)
-            caption = random.choice(caption) if caption else ""
+            caption = item_rng.choice(caption) if caption else ""
         if not isinstance(caption, str):
             caption = ""
 
@@ -310,7 +317,7 @@ class ImageDataset:
         _id = str(sample.get("source_id", idx))
         if ok:
             img = center_crop_arr(img, self.resolution, self.max_ratio)
-            if self.random_flip and random.random() < 0.5:
+            if self.random_flip and item_rng.random() < 0.5:
                 img = img.transpose(Image.FLIP_LEFT_RIGHT)
             arr = normalize_image(img)
         else:

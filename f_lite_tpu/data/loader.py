@@ -1,10 +1,20 @@
-"""Threaded prefetching data loader (host-side TPU input pipeline).
+"""Prefetching data loader (host-side TPU input pipeline).
 
 Replaces the reference's torch DataLoader with 4 workers
-(`train.py:186-231`): items fetched in a thread pool (IO-bound image
-fetching releases the GIL in requests/PIL), collated into numpy batches,
-and a bounded prefetch queue keeps the accelerator fed while the host
-decodes the next batch.
+(`train.py:186-231`): items fetched in a worker pool, collated into numpy
+batches, and a bounded prefetch queue keeps the accelerator fed while the
+host decodes the next batch.
+
+Worker types (`tools/bench_input_pipeline.py` measures both):
+- "thread" (default): IO-bound fetching releases the GIL in requests/PIL,
+  and PIL decode + the native OpenMP normalize run outside the GIL too —
+  the right default for network-backed datasets.
+- "process": fork-based ProcessPoolExecutor for decode-bound workloads
+  where Python-level crop/metadata work throttles threads. Children
+  inherit the dataset via fork (Linux); per-item results cross a pipe as
+  pickled numpy. Use with local (file://, dummy://) backends, or let each
+  child lazily open its own HTTP/S3 session (sessions are created on
+  first use, so an unused parent session is never shared).
 """
 
 from __future__ import annotations
@@ -13,6 +23,12 @@ import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterable
+
+_FORK_DATASET = None
+
+
+def _fork_getitem(idx):
+    return _FORK_DATASET[idx]
 
 
 class DataLoader:
@@ -26,18 +42,41 @@ class DataLoader:
         prefetch: int = 2,
         collate_fn=None,
         drop_last: bool = False,
+        worker_type: str = "thread",
     ):
         self.drop_last = drop_last
         if batch_sampler is not None and batch_size is not None:
             raise ValueError("pass batch_size or batch_sampler, not both")
+        if worker_type not in ("thread", "process"):
+            raise ValueError("worker_type must be 'thread' or 'process'")
         self.dataset = dataset
         self.batch_size = batch_size or 1
         self.sampler = sampler
         self.batch_sampler = batch_sampler
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
+        self.worker_type = worker_type
         self.collate_fn = collate_fn or getattr(
             dataset, "collate_fn", _default_collate
+        )
+
+    def _make_pool(self):
+        if self.worker_type == "process":
+            import multiprocessing
+            from concurrent.futures import ProcessPoolExecutor
+
+            # fork: children inherit the dataset through _FORK_DATASET —
+            # no per-task dataset pickling, only (idx, result) cross pipes
+            global _FORK_DATASET
+            _FORK_DATASET = self.dataset
+            ctx = multiprocessing.get_context("fork")
+            return (
+                ProcessPoolExecutor(self.num_workers, mp_context=ctx),
+                _fork_getitem,
+            )
+        return (
+            ThreadPoolExecutor(self.num_workers),
+            self.dataset.__getitem__,
         )
 
     def _batches(self):
@@ -75,14 +114,13 @@ class DataLoader:
         stop = threading.Event()
 
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
+            pool, getitem = self._make_pool()
+            with pool:
                 try:
                     for batch_idx in self._batches():
                         if stop.is_set():
                             return
-                        items = list(
-                            pool.map(self.dataset.__getitem__, batch_idx)
-                        )
+                        items = list(pool.map(getitem, batch_idx))
                         q.put(self.collate_fn(items))
                 except Exception as e:  # surface worker errors to consumer
                     q.put(e)

@@ -110,6 +110,9 @@ def generate_images(args) -> list[Path]:
 def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     args = build_parser().parse_args(argv)
+    from f_lite_tpu.utils.env import enable_compilation_cache
+
+    enable_compilation_cache()
     return generate_images(args)
 
 

@@ -66,12 +66,17 @@ ACT_MLP = "act_mlp"
 ACT_SEQ = "act_seq"
 
 
+_DROPPED_HINTS: set = set()
+
+
 def _constrain(x, *axes):
     """Megatron-style activation sharding hint. Inert (identity) unless the
     caller traces inside `parallel.mesh.mesh_rules(mesh)` — single-chip and
     rule-less paths are untouched; on a tp mesh it pins per-head/MLP
     intermediates to the tp axis so XLA SPMD doesn't invent resharding
     permutes (observed on unconstrained tp compiles)."""
+    import logging
+
     from f_lite_tpu.parallel.mesh import active_mesh_rules
 
     active = active_mesh_rules()
@@ -82,6 +87,9 @@ def _constrain(x, *axes):
     # extent it maps to — e.g. a batch-1 init/debug forward on a dp*fsdp=4
     # mesh must not demand 4-way batch sharding. Shapes are static under
     # trace, so this check costs nothing and keeps the hint best-effort.
+    # Each dropped (axis, size, extent) is logged once: a silent fallback
+    # to replicated under SP_RULES (e.g. seq % tp != 0) would otherwise
+    # produce mixed layouts and resharding churn with no signal.
     rule_map = dict(rules)
     safe = []
     for i, name in enumerate(axes):
@@ -92,7 +100,23 @@ def _constrain(x, *axes):
         if isinstance(mesh_axes, str):
             mesh_axes = (mesh_axes,)
         extent = math.prod(mesh.shape[a] for a in mesh_axes)
-        safe.append(name if x.shape[i] % extent == 0 else None)
+        if x.shape[i] % extent == 0:
+            safe.append(name)
+            continue
+        safe.append(None)
+        key = (name, int(x.shape[i]), extent)
+        if key not in _DROPPED_HINTS:
+            _DROPPED_HINTS.add(key)
+            log = logging.getLogger("f_lite_tpu.models.dit")
+            # batch-axis drops are routine (batch-1 init/debug traces);
+            # everything else (notably act_seq under SP_RULES) is a real
+            # layout fallback the user should know about
+            (log.debug if name == ACT_BATCH else log.warning)(
+                "sharding hint dropped: logical axis %r (dim %d) is not "
+                "divisible by mesh extent %d -> tensor falls back to "
+                "replicated on that axis",
+                name, x.shape[i], extent,
+            )
     return nn.with_logical_constraint(x, tuple(safe), rules=rules, mesh=mesh)
 
 

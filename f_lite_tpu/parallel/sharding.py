@@ -11,6 +11,7 @@ reduce-scatter schedule.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable
 
 import flax.linen as nn
@@ -70,16 +71,52 @@ def put_global_batch(x, sharding: NamedSharding):
     `jax.make_array_from_process_local_data`. The TPU analog of the
     reference's per-rank DataLoader feeding NCCL-sharded FSDP2
     (`distributed.py:46-68`).
+
+    CONTRACT (multi-process): along dims whose shards partition across
+    processes, each host passes only its local slice (global = local *
+    process span); along dims this process fully addresses — e.g. the
+    batch axis when a pipeline/tensor axis spans hosts and the batch is
+    replicated over it — the local data IS the global data and EVERY HOST
+    MUST SUPPLY AN IDENTICAL FULL BATCH (use a process-independent data
+    stream or seed for those axes; `process_replica_info` in
+    train/trainer.py derives which case applies). Nothing at the jax
+    level validates cross-host equality — divergent per-host data would
+    silently create inconsistent replicas. Set F_LITE_VALIDATE_BATCH=1 to
+    all-gather a per-host checksum and assert equality (debug/test mode;
+    one tiny collective per call).
     """
     import numpy as np
 
     if jax.process_count() == 1:
         return jax.device_put(x, sharding)
     local = np.asarray(x)
-    # Let jax infer the global shape from the sharding: along dims whose
-    # shards partition across processes, global = local * (global shards
-    # / addressable shards); along dims this process fully addresses
-    # (e.g. the batch axis when a pipeline/tensor axis spans hosts and
-    # the batch is replicated over it), the local data IS global and
-    # every host must supply the same full batch.
-    return jax.make_array_from_process_local_data(sharding, local)
+    out = jax.make_array_from_process_local_data(sharding, local)
+    if os.environ.get("F_LITE_VALIDATE_BATCH") and (
+        out.shape == local.shape
+    ):
+        # out.shape == local.shape means no dim partitioned across
+        # processes: every host claimed to supply the SAME global array
+        _validate_replicated_batch(local)
+    return out
+
+
+def _validate_replicated_batch(local):
+    """Debug check for the put_global_batch contract: when the local
+    array IS the global array (nothing partitioned across processes), the
+    bytes must be identical on all hosts — exchange crc32s and compare."""
+    import zlib
+
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    crc = zlib.crc32(np.ascontiguousarray(local).tobytes()) & 0xFFFFFFFF
+    all_crcs = np.asarray(multihost_utils.process_allgather(
+        np.asarray([crc], np.int64)
+    )).ravel()
+    if not np.all(all_crcs == all_crcs[0]):
+        raise ValueError(
+            "put_global_batch: hosts supplied DIFFERENT data for a batch "
+            "that is replicated across processes under this sharding — "
+            "each host must pass an identical full batch (see docstring); "
+            f"per-host crc32s: {all_crcs.tolist()}"
+        )

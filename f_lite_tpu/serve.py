@@ -60,6 +60,9 @@ def main(argv=None):
     import numpy as np
 
     from f_lite_tpu.pipeline import FLitePipeline
+    from f_lite_tpu.utils.env import enable_compilation_cache
+
+    enable_compilation_cache()
 
     prompts = [
         l.strip() for l in Path(args.prompts).read_text().splitlines()

@@ -72,6 +72,12 @@ def parse_args(argv=None):
     p.add_argument("--random_flip", action="store_true")
     p.add_argument("--use_resolution_buckets", action="store_true")
     p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--loader_worker_type", choices=("thread", "process"),
+                   default="thread",
+                   help="host input-pipeline workers: threads (network-"
+                        "backed default) or forked processes (decode-"
+                        "bound local data; see PERF.md host-pipeline "
+                        "table)")
     # Training
     p.add_argument("--train_batch_size", type=int, default=1)
     p.add_argument("--eval_batch_size", type=int, default=1)
@@ -91,6 +97,11 @@ def parse_args(argv=None):
     p.add_argument("--ema_decay", type=float, default=0.0,
                    help="EMA of trained params (0 = off); eval sampling "
                         "and final export use the EMA when enabled")
+    p.add_argument("--ema_dtype", choices=("fp32", "bf16"),
+                   default="fp32",
+                   help="EMA shadow dtype: bf16 halves the extra param "
+                        "memory (a 10B EMA fits beside training on 16 GB "
+                        "chips) at ~3 decimal digits of decay resolution")
     p.add_argument("--bs_rampup", type=int, default=None,
                    help="ramp the effective batch size up over this many "
                         "steps (`train.py:428-433`; TPU-native: static "
@@ -274,6 +285,7 @@ def build_dataloader(args, batch_size, train=True, sampler_state=None):
         root_dir_type=args.root_dir_type,
         base_url=args.base_url,
         debug=args.debug,
+        seed=args.seed or 0,
     )
     # rank-strided loading across hosts (`sampler.py:96-97` semantics):
     # each process iterates a disjoint slice; single-host this is (1, 0)
@@ -288,7 +300,8 @@ def build_dataloader(args, batch_size, train=True, sampler_state=None):
         if sampler_state:
             sampler.load_state_dict(sampler_state)
         dl = DataLoader(ds, batch_sampler=sampler,
-                        num_workers=args.num_workers)
+                        num_workers=args.num_workers,
+                        worker_type=args.loader_worker_type)
         return dl, sampler
     sampler = StatefulDistributedSampler(
         ds, batch_size, num_replicas=num_replicas, rank=rank, shuffle=train,
@@ -297,7 +310,8 @@ def build_dataloader(args, batch_size, train=True, sampler_state=None):
     if sampler_state:
         sampler.load_state_dict(sampler_state)
     dl = DataLoader(ds, batch_size=batch_size, sampler=sampler,
-                    num_workers=args.num_workers, drop_last=True)
+                    num_workers=args.num_workers, drop_last=True,
+                    worker_type=args.loader_worker_type)
     return dl, sampler
 
 
@@ -428,6 +442,10 @@ def sample_images(
 def train(args) -> dict:
     import flax.linen as nn
     import optax
+
+    from f_lite_tpu.utils.env import enable_compilation_cache
+
+    enable_compilation_cache()
 
     from f_lite_tpu.models.vae import AutoencoderKL, normalize_latents
     from f_lite_tpu.parallel import (
@@ -711,16 +729,29 @@ def train(args) -> dict:
     ema_update = None
     if args.ema_decay > 0:
         d = float(args.ema_decay)
+        ema_dt = jnp.bfloat16 if args.ema_dtype == "bf16" else None
+
+        def _ema_leaf_dtype(x):
+            # float leaves follow --ema_dtype; int/bool leaves pass through
+            if ema_dt is not None and jnp.issubdtype(x.dtype, jnp.floating):
+                return ema_dt
+            return x.dtype
+
         ema_update = jax.jit(
             lambda e, p: jax.tree.map(
-                lambda a, b: a * d + b.astype(a.dtype) * (1.0 - d), e, p
+                lambda a, b: (
+                    a.astype(jnp.float32) * d
+                    + b.astype(jnp.float32) * (1.0 - d)
+                ).astype(a.dtype),
+                e, p,
             )
         )
         restored = None
         if args.resume_from_checkpoint and global_step:
             abstract_p = jax.tree.map(
                 lambda x: jax.ShapeDtypeStruct(
-                    x.shape, x.dtype, sharding=getattr(x, "sharding", None)
+                    x.shape, _ema_leaf_dtype(x),
+                    sharding=getattr(x, "sharding", None),
                 ),
                 state.params,
             )
@@ -729,7 +760,15 @@ def train(args) -> dict:
         # state.params would dangle after the first step
         ema_params = (
             restored if restored is not None
-            else jax.tree.map(jnp.copy, state.params)
+            else jax.tree.map(
+                # copy=True: train_step donates the state; aliasing
+                # state.params (asarray/astype no-op on same dtype)
+                # would dangle after the first step
+                lambda x: jnp.array(
+                    x, dtype=_ema_leaf_dtype(x), copy=True
+                ),
+                state.params,
+            )
         )
 
     metrics_logger = MetricsLogger(args)
@@ -784,7 +823,11 @@ def train(args) -> dict:
                 jax.profiler.start_trace(
                     str(Path(args.output_dir) / "profile")
                 )
-            rng, k_enc, k_step = jax.random.split(rng, 3)
+            # step-keyed (not sequentially split): resume at step N replays
+            # exactly the keys the straight-through run used at step N
+            k_enc, k_step = jax.random.split(
+                jax.random.fold_in(rng, global_step)
+            )
             latents, ctx, mask = encode_batch(batch, k_enc)
             weight = None
             if args.bs_rampup and global_step < args.bs_rampup:
@@ -797,7 +840,13 @@ def train(args) -> dict:
                     -(-(global_step + 1) * bsz // (args.bs_rampup * 4)) * 4,
                 )
                 if target < bsz:
-                    perm = np.random.permutation(bsz)
+                    # seeded by (seed, step) so resume-during-rampup
+                    # reproduces and every host picks the same subset
+                    rs = np.random.RandomState(
+                        ((args.seed or 0) * 1000003 + global_step)
+                        % (2**32)
+                    )
+                    perm = rs.permutation(bsz)
                     w = np.zeros(bsz, np.float32)
                     w[perm[:target]] = 1.0
                     weight = put_global_batch(jnp.asarray(w), bsh)
@@ -870,7 +919,11 @@ def train(args) -> dict:
                     global_step % args.eval_every == 0:
                 vlosses = []
                 for vi, vbatch in enumerate(val_dl):
-                    rng, k1, k2 = jax.random.split(rng, 3)
+                    # derived, not split from `rng`: keeps the train-step
+                    # key stream independent of eval cadence
+                    k1, k2 = jax.random.split(jax.random.fold_in(
+                        rng, (1 << 30) + global_step * 32 + vi
+                    ))
                     vl, vc, vm = encode_batch(vbatch, k1)
                     vlosses.append(float(eval_loss(state.params, k2, vl,
                                                    vc, vm)))

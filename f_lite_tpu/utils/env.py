@@ -35,3 +35,33 @@ def load_dotenv(path: str | Path = ".env") -> dict[str, str]:
         parsed[key] = value
         os.environ.setdefault(key, value)
     return parsed
+
+
+def enable_compilation_cache(cache_dir: str | Path | None = None) -> str:
+    """Turn on JAX's persistent compilation cache (VERDICT r2 item 6).
+
+    Every process restart otherwise pays 17-84 s of XLA compilation before
+    the first image (PERF.md compile matrix). Priority: explicit arg >
+    `F_LITE_COMPILE_CACHE` env > `JAX_COMPILATION_CACHE_DIR` env >
+    `~/.cache/f_lite_tpu/xla`. Set `F_LITE_COMPILE_CACHE=0` to disable.
+    Safe to call multiple times; must run before the first compilation to
+    help that compilation.
+    """
+    import jax
+
+    env = os.environ.get("F_LITE_COMPILE_CACHE")
+    if env == "0":
+        return ""
+    cache_dir = str(
+        cache_dir
+        or env
+        or os.environ.get("JAX_COMPILATION_CACHE_DIR")
+        or Path.home() / ".cache" / "f_lite_tpu" / "xla"
+    )
+    Path(cache_dir).mkdir(parents=True, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    # cache every compilation that takes >= 1 s (default threshold skips
+    # small programs; serving/training programs are all far above this)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    return cache_dir

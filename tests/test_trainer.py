@@ -255,3 +255,51 @@ class TestEmaAndRampup:
         ])
         result = train(args)
         assert np.isfinite(result["train/loss"])
+
+    def test_ema_bf16_dtype(self, tmp_path):
+        root = _write_parquet_dataset(tmp_path)
+        out = tmp_path / "out"
+        args = parse_args(_base_argv(root, out) + [
+            "--max_steps", "3", "--checkpointing_steps", "2",
+            "--ema_decay", "0.5", "--ema_dtype", "bf16",
+        ])
+        result = train(args)
+        assert np.isfinite(result["train/loss"])
+        assert (out / "checkpoints" / "3" / "ema").exists()
+
+        # resume restores the bf16 shadow without dtype clashes
+        args2 = parse_args(_base_argv(root, out) + [
+            "--max_steps", "4", "--checkpointing_steps", "4",
+            "--ema_decay", "0.5", "--ema_dtype", "bf16",
+            "--resume_from_checkpoint", "latest",
+        ])
+        result2 = train(args2)
+        assert result2["global_step"] == 4
+
+    def test_rampup_resume_reproduces(self, tmp_path):
+        """Resume during bs_rampup replays the same 0/1 subset stream
+        (the selection is keyed on (seed, global_step), not on global
+        np.random state) -> straight-through and resumed runs converge to
+        bit-identical losses."""
+        root = _write_parquet_dataset(tmp_path)
+        common = [
+            "--bs_rampup", "100", "--seed", "7",
+            # constant LR: decaying schedules are a function of max_steps
+            # (reference semantics), which differs between the phases here
+            "--lr_scheduler", "constant",
+        ]
+        out_a = tmp_path / "straight"
+        res_a = train(parse_args(_base_argv(root, out_a) + common + [
+            "--max_steps", "4", "--checkpointing_steps", "0",
+        ]))
+
+        out_b = tmp_path / "resumed"
+        train(parse_args(_base_argv(root, out_b) + common + [
+            "--max_steps", "2", "--checkpointing_steps", "2",
+        ]))
+        res_b = train(parse_args(_base_argv(root, out_b) + common + [
+            "--max_steps", "4", "--checkpointing_steps", "4",
+            "--resume_from_checkpoint", "latest",
+        ]))
+        assert res_a["global_step"] == res_b["global_step"] == 4
+        assert res_a["train/loss"] == res_b["train/loss"]

@@ -28,7 +28,11 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-from tp_compile_check import force_cpu, parse_collectives  # noqa: E402
+from tp_compile_check import (  # noqa: E402
+    force_cpu,
+    memory_record,
+    parse_collectives,
+)
 
 
 def axis_groups(mesh_shape: dict, axes: tuple) -> list[list[int]]:
@@ -167,7 +171,12 @@ def main():
             return optax.apply_updates(params, upd), opt_state, loss
 
         t0 = time.time()
-        compiled = jax.jit(step).lower(*arg_structs).compile()
+        # donate params + opt state like the real trainer (train_step
+        # donates the state) so the memory audit sees the aliased peak
+        compiled = (
+            jax.jit(step, donate_argnums=(0, 1))
+            .lower(*arg_structs).compile()
+        )
         compile_s = time.time() - t0
 
     hlo = compiled.as_text()
@@ -208,6 +217,7 @@ def main():
         "pipeline_permutes": n_permute,
         "bad_collectives": bad[:8],
         "compile_s": round(compile_s, 1),
+        "memory": memory_record(compiled),
     }
     Path(args.out).write_text(json.dumps(record, indent=2))
     print(json.dumps(record))

@@ -68,6 +68,37 @@ def _parse_iota_groups(raw: str):
     return [list(map(int, row)) for row in ids.reshape(g, s)]
 
 
+def memory_record(compiled, budget_gb: float = 16.0):
+    """Per-chip memory stats from XLA's own accounting
+    (`compiled.memory_analysis()`), against the v5e 16 GB HBM budget.
+
+    With SPMD partitioning the compiled module is the per-device program,
+    so argument/temp/output sizes are per-chip bytes. Peak ≈ args + temps
+    + un-aliased outputs (donated buffers alias their inputs). On the
+    virtual CPU audit mesh the argument/output numbers are exact layout
+    arithmetic; temp accounting is XLA:CPU's and approximates the TPU
+    backend's (fusion differences shift it by small factors, not orders).
+    """
+    ma = compiled.memory_analysis()
+    if ma is None:
+        return None
+    gib = 1024.0 ** 3
+    args_gb = ma.argument_size_in_bytes / gib
+    out_gb = ma.output_size_in_bytes / gib
+    temp_gb = ma.temp_size_in_bytes / gib
+    alias_gb = ma.alias_size_in_bytes / gib
+    peak_gb = args_gb + temp_gb + max(out_gb - alias_gb, 0.0)
+    return {
+        "per_chip_args_gb": round(args_gb, 3),
+        "per_chip_temps_gb": round(temp_gb, 3),
+        "per_chip_output_gb": round(out_gb, 3),
+        "per_chip_aliased_gb": round(alias_gb, 3),
+        "per_chip_peak_gb": round(peak_gb, 3),
+        "budget_gb": budget_gb,
+        "fits_budget": peak_gb < budget_gb,
+    }
+
+
 def parse_collectives(hlo: str):
     """[(kind, groups)] — groups as list of device-id lists.
 
@@ -225,6 +256,7 @@ def main():
             compiled.cost_analysis().get("flops", -1.0)
             if compiled.cost_analysis() else -1.0
         ),
+        "memory": memory_record(compiled),
     }
     Path(args.out).write_text(json.dumps(record, indent=2))
     print(json.dumps(record))
