@@ -31,6 +31,15 @@ def _fork_getitem(idx):
     return _FORK_DATASET[idx]
 
 
+def _fork_child_init():
+    # forked children inherit the parent's atexit handlers (jax runtime /
+    # remote-backend teardown); running those in a worker hangs pool
+    # shutdown. Children only compute dataset items — drop the handlers.
+    import atexit
+
+    atexit._clear()
+
+
 class DataLoader:
     def __init__(
         self,
@@ -71,7 +80,8 @@ class DataLoader:
             _FORK_DATASET = self.dataset
             ctx = multiprocessing.get_context("fork")
             return (
-                ProcessPoolExecutor(self.num_workers, mp_context=ctx),
+                ProcessPoolExecutor(self.num_workers, mp_context=ctx,
+                                    initializer=_fork_child_init),
                 _fork_getitem,
             )
         return (

@@ -90,20 +90,43 @@ def generate_images(args) -> list[Path]:
     dt = time.perf_counter() - t0
 
     base = Path(args.output_file)
+
+    def _save(img, path):
+        if hasattr(img, "save"):  # PIL image (normal path)
+            img.save(path)
+            return path
+        # VAE-less checkpoint: the pipeline returns raw latents — write
+        # them as .npy instead of crashing on PIL-only .save
+        import numpy as np
+
+        path = path.with_suffix(".npy")
+        np.save(path, np.asarray(img))
+        logger.warning("no VAE in checkpoint: wrote latents to %s", path)
+        return path
+
     paths = []
     if len(out.images) == 1:
-        out.images[0].save(base)
-        paths.append(base)
+        paths.append(_save(out.images[0], base))
     else:
         for i, img in enumerate(out.images, 1):
             p = base.with_name(f"{base.stem}_{i}{base.suffix}")
-            img.save(p)
-            paths.append(p)
+            paths.append(_save(img, p))
     logger.info("generated %d image(s) in %.2fs -> %s",
                 len(paths), dt, ", ".join(map(str, paths)))
-    print(f"generated {len(paths)} image(s) in {dt:.2f}s")
-    for p in paths:
-        print(f"  {p}")
+    try:  # rich console output like the reference CLI (`generate.py:10-11`)
+        from rich.console import Console
+
+        console = Console()
+        console.print(
+            f"[bold green]generated {len(paths)} image(s) "
+            f"in {dt:.2f}s[/]"
+        )
+        for p in paths:
+            console.print(f"  [cyan]{p}[/]")
+    except ImportError:
+        print(f"generated {len(paths)} image(s) in {dt:.2f}s")
+        for p in paths:
+            print(f"  {p}")
     return paths
 
 
