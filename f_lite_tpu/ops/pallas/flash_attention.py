@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -538,6 +539,21 @@ def flash_attention(
         # keep the fp32 accumulator scratch <= 4MB VMEM for wide heads
         d_p = _round_up(q.shape[-1], _LANES)
         block_q = min(block_q, max(512, (4 << 20) // (4 * d_p) // 128 * 128))
+        if q.dtype.itemsize > 2:
+            # fp32 inputs double every dtype-sized VMEM tile (q, out, p):
+            # the bf16-tuned 4096-row block exceeds the 16MB scoped limit
+            # at D=256 (16.5M measured) — halve it. fp32 runs are parity/
+            # quality audits, not the serving path, so bf16 perf tuning
+            # is untouched.
+            block_q = min(block_q, 2048)
+        cap = int(os.environ.get("F_LITE_FLASH_MAX_BQ", "0"))
+        if cap:
+            # escape hatch: XLA's scoped-vmem accounting is program-
+            # context dependent — the same (4096, 128) call that fits in
+            # the serving scan can land ~1% over the 16MB limit inside a
+            # differently-fused program (tools/quality_audit.py). The cap
+            # only applies to default-block callers.
+            block_q = min(block_q, max(512, cap))
     if block_k is None:
         block_k = 256
     block_q = min(block_q, _round_up(lq, 128))

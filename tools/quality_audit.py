@@ -28,9 +28,15 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
 import sys
 import time
 from pathlib import Path
+
+# this tool's per-step jit fuses differently from the serving scan and
+# lands the default (4096, 128) flash block ~1% over the 16MB scoped
+# vmem limit — cap the q block (ops/pallas/flash_attention.py)
+os.environ.setdefault("F_LITE_FLASH_MAX_BQ", "2048")
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
@@ -102,6 +108,28 @@ def quantize_consuming(params):
     return rec(params)
 
 
+def fill_zero_leaves(params, seed):
+    """Fresh-init DiT outputs are exactly ZERO — final_proj and the AdaLN
+    modulation heads are zero-init (reference model.py:454-479 parity) —
+    so a raw-init trajectory never moves and every dtype mode compares
+    0 == 0. Fill each all-zero leaf (those heads + ordinary zero biases)
+    with small normal noise so the audit drives a live network."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    rs = np.random.RandomState(seed)
+
+    def rec(x):
+        if hasattr(x, "shape") and x.size and not bool(jnp.any(x)):
+            return jnp.asarray(
+                rs.standard_normal(x.shape) * 0.02, x.dtype
+            )
+        return x
+
+    return jax.tree.map(rec, params)
+
+
 def compare(tr_a, tr_b):
     import numpy as np
 
@@ -127,6 +155,8 @@ def main():
     ap.add_argument("--size", type=int, default=1024)
     ap.add_argument("--guidance_scale", type=float, default=6.0)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--modes", default=None,
+                    help="comma subset of the model's modes (debug)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
@@ -149,6 +179,8 @@ def main():
         master_dtype = jnp.bfloat16  # fp32 7B (28 GB) exceeds the chip
         modes = ["bf16", "int8"]
     common = dict(scan_layers=True, **base)
+    if args.modes:
+        modes = [m for m in modes if m in args.modes.split(",")]
 
     cfg_master = DiTConfig(dtype=master_dtype, param_dtype=master_dtype,
                            **common)
@@ -157,6 +189,7 @@ def main():
           flush=True)
     params = model.init_params(jax.random.key(args.seed), text_len=128,
                                image_size=64)
+    params = fill_zero_leaves(params, args.seed + 2)
 
     lat = args.size // 8
     rs = np.random.RandomState(args.seed + 1)
