@@ -60,19 +60,33 @@ class Checkpointer:
         extra: dict | None = None,
     ):
         """`extra`: additional named pytrees saved alongside the state
-        (e.g. {"ema": ema_params})."""
+        (e.g. {"ema": ema_params}).
+
+        `wait=False` returns as soon as the state is snapshotted to host
+        memory; the directory write continues in the background while
+        training proceeds (Orbax async). The next save (or an explicit
+        `wait_until_finished`) drains it, so at most one write is ever in
+        flight and `prune` can never race an in-flight directory (it only
+        removes the oldest dirs; the in-flight one is the newest)."""
         d = self._dir(step)
+        # drain any still-running async write before starting a new one
+        self._ckptr.wait_until_finished()
         self._ckptr.save(d / "state", state, force=True)
         for name, tree in (extra or {}).items():
             self._ckptr.save(d / name, tree, force=True)
         if wait:
             self._ckptr.wait_until_finished()
         if sampler_state is not None:
+            d.mkdir(parents=True, exist_ok=True)
             (d / "sampler_state.json").write_text(
                 json.dumps(sampler_state, indent=2)
             )
         self.prune()
         return d
+
+    def wait_until_finished(self):
+        """Block until any `wait=False` save has committed its directory."""
+        self._ckptr.wait_until_finished()
 
     # ---- load -----------------------------------------------------------
     def load(self, step: int | str, abstract_state: Any) -> Any:

@@ -41,6 +41,9 @@ def parse_args(argv=None):
     p.add_argument("--text_encoder_path", type=str, default=None)
     p.add_argument("--text_encoder_type", type=str, default="zero",
                    choices=["t5", "qwen2", "torch", "zero", "precomputed"])
+    p.add_argument("--processor_path", type=str, default=None,
+                   help="tokenizer/processor dir when it differs from "
+                        "--text_encoder_path (`train.py:71,684`)")
     p.add_argument("--model_width", type=int, default=3072)
     p.add_argument("--model_depth", type=int, default=40)
     p.add_argument("--model_head_dim", type=int, default=256)
@@ -135,6 +138,17 @@ def parse_args(argv=None):
     p.add_argument("--train_only_lora", action="store_true")
     p.add_argument("--lora_rank", type=int, default=64)
     p.add_argument("--lora_alpha", type=int, default=64)
+    p.add_argument("--lora_target_modules", type=str,
+                   default="qkv,q,context_kv,proj",
+                   help="comma-separated kernel names to attach LoRA "
+                        "factors to (`train.py:140,750`)")
+    p.add_argument("--lora_dropout", type=float, default=0.0,
+                   help="peft branch-input dropout. Only 0.0 (the "
+                        "reference default) is supported: LoRA here is "
+                        "merged into the base weight inside jit (one "
+                        "fused matmul — train/lora.py), and a merged "
+                        "weight cannot express per-sample branch-input "
+                        "dropout")
     p.add_argument("--lora_checkpoint", type=str, default=None)
     # Other
     p.add_argument("--seed", type=int, default=None)
@@ -142,6 +156,17 @@ def parse_args(argv=None):
     p.add_argument("--checkpointing_steps", type=int, default=500)
     p.add_argument("--checkpoints_total_limit", type=int, default=None)
     p.add_argument("--resume_from_checkpoint", type=str, default=None)
+    p.add_argument("--async_checkpoint", action="store_true",
+                   help="mid-run checkpoint saves return once state is "
+                        "snapshotted to host; the directory write overlaps "
+                        "the next training steps (Orbax async). The final "
+                        "save always waits.")
+    p.add_argument("--graceful_term", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="on SIGTERM/SIGINT finish the in-flight step, save "
+                        "a checkpoint, and exit 0 (TPU-pod preemption "
+                        "delivers SIGTERM with a grace window); a second "
+                        "signal force-kills")
     p.add_argument("--mixed_precision", type=str, default=None,
                    choices=["no", "bf16"])
     p.add_argument("--gradient_checkpointing", action="store_true")
@@ -223,7 +248,9 @@ def build_text_encoder(args):
         from f_lite_tpu.text.templates import training_chat_messages
 
         return Qwen2TextEncoder(
-            args.text_encoder_path, message_fn=training_chat_messages
+            args.text_encoder_path,
+            processor_path=getattr(args, "processor_path", None),
+            message_fn=training_chat_messages,
         )
     if args.text_encoder_type == "torch" and args.text_encoder_path:
         from f_lite_tpu.text.encoder import TorchTextEncoder
@@ -487,6 +514,14 @@ def train(args) -> dict:
             "attach to unrolled 2-D kernels (stacked scan kernels would "
             "produce an empty factor tree and train nothing)"
         )
+    if args.use_lora and args.lora_dropout:
+        raise SystemExit(
+            "--lora_dropout > 0 is unsupported: LoRA factors are merged "
+            "into the base weights inside jit (train/lora.py), which "
+            "cannot express per-sample branch-input dropout. The "
+            "reference default is 0.0; use --uncond_prob / "
+            "--sequence_dropout for regularization instead."
+        )
     if args.seed is not None:
         np.random.seed(args.seed)
     rng = jax.random.key(args.seed or 0)
@@ -582,7 +617,11 @@ def train(args) -> dict:
     lora_params = None
     if args.use_lora:
         lora_params = init_lora_params(
-            jax.random.key(7), params, rank=args.lora_rank
+            jax.random.key(7), params, rank=args.lora_rank,
+            targets=tuple(
+                t.strip() for t in args.lora_target_modules.split(",")
+                if t.strip()
+            ),
         )
         if args.lora_checkpoint:
             lora_params = {"params": load_lora_weights(args.lora_checkpoint)}
@@ -812,6 +851,32 @@ def train(args) -> dict:
         len(dl.dataset), len(dl), max_steps,
     )
 
+    # Graceful preemption: TPU pods deliver SIGTERM with a grace window on
+    # eviction/maintenance. Finish the in-flight step, checkpoint, exit 0 —
+    # the resume path (`--resume_from_checkpoint latest`) picks up exactly
+    # where the signal landed. Restoring the previous handlers after the
+    # loop means a second signal (or one during the final save) gets the
+    # default fatal behavior.
+    preempt = {"sig": None}
+    prev_handlers = {}
+    if args.graceful_term:
+        import signal as _signal
+
+        def _on_term(signum, frame):
+            preempt["sig"] = signum
+            logger.warning(
+                "signal %d received: will checkpoint and stop at the next "
+                "step boundary (send again to force-kill)", signum,
+            )
+            _signal.signal(signum, prev_handlers.get(
+                signum, _signal.SIG_DFL))
+
+        try:
+            for _s in (_signal.SIGTERM, _signal.SIGINT):
+                prev_handlers[_s] = _signal.signal(_s, _on_term)
+        except ValueError:
+            prev_handlers = {}  # not the main thread (in-process callers)
+
     stop = False
     result = {}
     for epoch in range(args.num_epochs):
@@ -893,9 +958,11 @@ def train(args) -> dict:
                     global_step % args.checkpointing_steps == 0:
                 ckpt.save(global_step, state,
                           sampler.state_dict(global_step),
+                          wait=not args.async_checkpoint,
                           extra={"ema": ema_params}
                           if ema_params is not None else None)
-                logger.info("saved checkpoint @ %d", global_step)
+                logger.info("saved checkpoint @ %d%s", global_step,
+                            " (async)" if args.async_checkpoint else "")
 
             if args.sample_every and global_step % args.sample_every == 0:
                 sample_src = (
@@ -937,6 +1004,14 @@ def train(args) -> dict:
                     logger.info("validation loss: %.4f", v)
                     result["val/loss"] = v
 
+            if preempt["sig"] is not None:
+                logger.warning(
+                    "stopping on signal %d at step %d; saving final "
+                    "checkpoint", preempt["sig"], global_step,
+                )
+                result["preempted_at"] = global_step
+                stop = True
+                break
             if global_step >= max_steps:
                 stop = True
                 break
@@ -944,6 +1019,10 @@ def train(args) -> dict:
                     time.time() - epoch_start)
         if stop:
             break
+
+    if args.graceful_term and prev_handlers:
+        for _s, _h in prev_handlers.items():
+            _signal.signal(_s, _h)
 
     # final save (`train.py:1228-1245`)
     ckpt.save(global_step, state, sampler.state_dict(global_step),

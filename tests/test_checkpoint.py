@@ -185,3 +185,20 @@ class TestLoRAScanGuard:
         ])
         with pytest.raises(SystemExit, match="scan_layers"):
             train(args)
+
+
+class TestAsyncCheckpoint:
+    def test_wait_false_overlaps_and_commits(self, tmp_path):
+        """`wait=False` saves (trainer `--async_checkpoint`) return early;
+        back-to-back saves self-drain; everything restores bit-exact."""
+        model, state = _state()
+        ck = Checkpointer(tmp_path, total_limit=2)
+        for step in (10, 20, 30):  # immediate successor saves must drain
+            ck.save(step, state, sampler_state={"start_index": step},
+                    wait=False)
+        ck.wait_until_finished()
+        assert ck.steps() == [20, 30]  # retention applied across async saves
+        restored = ck.load("latest", abstract_like(state))
+        for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert ck.load_sampler_state(30) == {"start_index": 30}

@@ -303,3 +303,45 @@ class TestEmaAndRampup:
         ]))
         assert res_a["global_step"] == res_b["global_step"] == 4
         assert res_a["train/loss"] == res_b["train/loss"]
+
+
+class TestReferenceFlagParity:
+    """The last reference train.py flags without counterparts
+    (`train.py:71,138,140`): --processor_path, --lora_target_modules,
+    --lora_dropout."""
+
+    def test_lora_target_modules_selects_kernels(self, tmp_path):
+        root = _write_parquet_dataset(tmp_path)
+        out = tmp_path / "out"
+        res = train(parse_args(_base_argv(root, out) + [
+            "--max_steps", "1", "--checkpointing_steps", "0",
+            "--use_lora", "--lora_rank", "4",
+            "--lora_target_modules", "proj",
+        ]))
+        assert res["global_step"] == 1
+        # only `proj` kernels got factors: saved lora tree mentions no qkv
+        import safetensors.numpy as stn
+
+        ck = out / "checkpoints" / "1"
+        files = list(ck.glob("lora_weights.safetensors"))
+        assert files, list(ck.iterdir())
+        keys = list(stn.load_file(files[0]).keys())
+        assert keys and all("proj" in k for k in keys), keys[:5]
+        assert not any("qkv" in k for k in keys)
+
+    def test_lora_dropout_nonzero_rejected(self, tmp_path):
+        root = _write_parquet_dataset(tmp_path)
+        import pytest as _pytest
+
+        with _pytest.raises(SystemExit, match="lora_dropout"):
+            train(parse_args(
+                _base_argv(root, tmp_path / "out2")
+                + ["--use_lora", "--lora_dropout", "0.1"]
+            ))
+
+    def test_processor_path_flag_parses(self):
+        a = parse_args([
+            "--train_data_path", "x", "--processor_path", "/p",
+            "--lora_dropout", "0.0",
+        ])
+        assert a.processor_path == "/p" and a.lora_dropout == 0.0
