@@ -530,7 +530,15 @@ def flash_attention(
     b, h, lq, _ = q.shape
     lk = k.shape[2]
     if block_q is None:
-        if lq >= 4096 and b * h <= 32:
+        # effective kernel rows after the ragged-tail split below
+        _tail = lq % 4096
+        _eff_lq = (lq - _tail
+                   if 0 < _tail <= _TAIL_SPLIT_MAX and lq > 4096 else lq)
+        # bq=4096 is only safe when it covers the WHOLE q extent (nq == 1):
+        # with nq > 1 Mosaic double-buffers the q/out tiles across q blocks
+        # and the (4096, 128) config lands ~256K over the 16MB scoped-vmem
+        # limit (measured at 2048px serving, lq=16384)
+        if lq >= 4096 and b * h <= 32 and _round_up(_eff_lq, 128) <= 4096:
             block_q, block_k = 4096, block_k or 128
         elif lq >= 2048:
             block_q = 2048

@@ -452,7 +452,10 @@ class FLitePipeline:
         z = denormalize_latents(
             final.astype(jnp.float32), self.vae.config
         )
-        if self._decode_mode == "tiled":
+        if self._decode_mode == "tiled" or max(z.shape[1:3]) > 128:
+            # auto-tile past 1024px regardless of mode: a full 2048px
+            # decode wants 16.5 GB of decoder activations (measured HBM
+            # OOM on the 16 GB chip) — tiling is the only decode that runs
             decoded = decode_tiled(self.vae, self.vae_params, z)
         elif self._decode_mode == "sliced":
             decoded = decode_sliced(self.vae, self.vae_params, z)
