@@ -128,6 +128,7 @@ class ImageDataset:
         self.random_flip = random_flip
         self.retries = retries
         self.seed = seed
+        self.epoch = 0  # advanced by set_epoch (trainer epoch loop)
         self.data = self._load_metadata(
             data_path, base_image_dir, root_dir_type, debug
         )
@@ -298,14 +299,24 @@ class ImageDataset:
             )
             self.place_holder_image[bucket] = img
 
+    def set_epoch(self, epoch: int):
+        """Refresh per-item augmentation draws (flip, caption choice) for
+        the new epoch; called next to the sampler's `set_epoch`."""
+        self.epoch = int(epoch)
+
     # ---- items ----------------------------------------------------------
     def __getitem__(self, idx: int) -> dict[str, Any]:
         sample = self.data.iloc[idx]
-        # per-item RNG seeded by (dataset seed, idx): sample-local choices
-        # (caption pick, flip) don't depend on global stream position, so
-        # a resumed run replays exactly what the straight run drew
-        # (the reference's global `random` here breaks resume determinism)
-        item_rng = random.Random((self.seed or 0) * 2654435761 + idx)
+        # per-item RNG seeded by (dataset seed, epoch, idx): sample-local
+        # choices (caption pick, flip) don't depend on global stream
+        # position, so a resumed run replays exactly what the straight run
+        # drew (the reference's global `random` here breaks resume
+        # determinism) — while the epoch term keeps flips/caption picks
+        # fresh per visit (a (seed, idx)-only key would pin every image's
+        # flip and caption for the whole run)
+        item_rng = random.Random(
+            ((self.seed or 0) * 2654435761 + self.epoch) * 1000003 + idx
+        )
         caption = sample.get(self.caption_column, "")
         if isinstance(caption, (tuple, list, np.ndarray)):
             caption = list(caption)

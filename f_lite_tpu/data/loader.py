@@ -19,16 +19,22 @@ Worker types (`tools/bench_input_pipeline.py` measures both):
 
 from __future__ import annotations
 
+import functools
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterable
 
-_FORK_DATASET = None
+# per-loader registry (keyed by id(loader)): forked children inherit the
+# whole dict and each pool's tasks carry their own token, so two loaders
+# iterated concurrently (train + val) can never serve each other's items
+# (a single module-level slot raced: B's assignment between A's fork and
+# A's first map would bind A's workers to B's dataset)
+_FORK_DATASETS: dict[int, object] = {}
 
 
-def _fork_getitem(idx):
-    return _FORK_DATASET[idx]
+def _fork_getitem(token, idx):
+    return _FORK_DATASETS[token][idx]
 
 
 def _fork_child_init():
@@ -74,15 +80,18 @@ class DataLoader:
             import multiprocessing
             from concurrent.futures import ProcessPoolExecutor
 
-            # fork: children inherit the dataset through _FORK_DATASET —
-            # no per-task dataset pickling, only (idx, result) cross pipes
-            global _FORK_DATASET
-            _FORK_DATASET = self.dataset
+            # fork: children inherit the dataset through _FORK_DATASETS —
+            # no per-task dataset pickling, only (idx, result) cross pipes.
+            # Re-registered on every pool creation (one pool per __iter__),
+            # so epoch-dependent dataset state (set_epoch) is current in
+            # the children of each fresh epoch's fork.
+            token = id(self)
+            _FORK_DATASETS[token] = self.dataset
             ctx = multiprocessing.get_context("fork")
             return (
                 ProcessPoolExecutor(self.num_workers, mp_context=ctx,
                                     initializer=_fork_child_init),
-                _fork_getitem,
+                functools.partial(_fork_getitem, token),
             )
         return (
             ThreadPoolExecutor(self.num_workers),
@@ -123,6 +132,20 @@ class DataLoader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            # never block forever: if the consumer abandoned the iterator
+            # (eval loop break, max_steps, preemption) the queue stays
+            # full and a bare q.put would pin this thread inside `with
+            # pool:`, leaking the worker pool — forked OS processes in
+            # 'process' mode — once per abandoned iteration
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             pool, getitem = self._make_pool()
             with pool:
@@ -131,11 +154,12 @@ class DataLoader:
                         if stop.is_set():
                             return
                         items = list(pool.map(getitem, batch_idx))
-                        q.put(self.collate_fn(items))
+                        if not put(self.collate_fn(items)):
+                            return
                 except Exception as e:  # surface worker errors to consumer
-                    q.put(e)
+                    put(e)
                 finally:
-                    q.put(_END)
+                    put(_END)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()

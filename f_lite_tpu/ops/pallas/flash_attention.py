@@ -563,6 +563,11 @@ def flash_attention(
             # only applies to default-block callers.
             block_q = min(block_q, max(512, cap))
     if block_k is None:
+        # bk=256 everywhere: isolated-kernel sweeps prefer bk=512 at
+        # L>=8192 (+3.5%: 150->156 TF/s at L=16384), but the full 2048px
+        # serving program measures the same or slightly worse with 512
+        # (86.6 vs 85.3 s p50 — fusion context changes VMEM pressure).
+        # PERF.md "2048px" section; keep the simpler uniform default.
         block_k = 256
     block_q = min(block_q, _round_up(lq, 128))
     block_k = min(block_k, _round_up(lk, 128))

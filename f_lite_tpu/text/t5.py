@@ -261,7 +261,8 @@ def load_t5_encoder(
 
     model_path = Path(model_path)
     cfg = T5Config.from_hf(
-        json.loads((model_path / "config.json").read_text()), dtype=dtype
+        json.loads((model_path / "config.json").read_text()),
+        dtype=dtype, param_dtype=dtype,
     )
     sd: dict[str, np.ndarray] = {}
     st_files = sorted(model_path.glob("*.safetensors"))
@@ -282,7 +283,11 @@ def load_t5_encoder(
             })
     if not sd:
         raise FileNotFoundError(f"no weights under {model_path}")
+    # materialize straight at param_dtype: the conversion path's np.float32
+    # intermediates are host-side only — without this cast T5-XXL would
+    # land as ~19 GB of fp32 on a 16 GB chip
     params = jax.tree.map(
-        jnp.asarray, convert_t5_state_dict(sd, cfg)
+        lambda a: jnp.asarray(a, cfg.param_dtype),
+        convert_t5_state_dict(sd, cfg),
     )
     return T5EncoderStack(cfg, return_index=return_index), params, cfg

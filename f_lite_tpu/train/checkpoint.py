@@ -35,9 +35,16 @@ class Checkpointer:
 
     # ---- discovery (`checkpoint.py:26-39`) ------------------------------
     def steps(self) -> list[int]:
+        """COMMITTED checkpoints only. Orbax materializes `{step}/state`
+        by atomic rename at commit, so a dir without it is an in-flight
+        async write or a torn crash leftover — `latest` resolution and
+        retention must both skip it (resume falls back to the previous
+        good step; prune never counts the in-flight newest toward the
+        limit, so it cannot evict the last committed checkpoint while a
+        `wait=False` write is still running)."""
         out = []
         for d in self.root.iterdir():
-            if d.is_dir() and d.name.isdigit():
+            if d.is_dir() and d.name.isdigit() and (d / "state").exists():
                 out.append(int(d.name))
         return sorted(out)
 
@@ -85,8 +92,10 @@ class Checkpointer:
         return d
 
     def wait_until_finished(self):
-        """Block until any `wait=False` save has committed its directory."""
+        """Block until any `wait=False` save has committed its directory,
+        then apply retention (the save-time prune skips in-flight dirs)."""
         self._ckptr.wait_until_finished()
+        self.prune()
 
     # ---- load -----------------------------------------------------------
     def load(self, step: int | str, abstract_state: Any) -> Any:

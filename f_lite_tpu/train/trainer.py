@@ -882,6 +882,9 @@ def train(args) -> dict:
     for epoch in range(args.num_epochs):
         if hasattr(sampler, "set_epoch"):
             sampler.set_epoch(epoch)
+        if hasattr(dl.dataset, "set_epoch"):
+            # fresh per-visit augmentation draws (flip/caption) each epoch
+            dl.dataset.set_epoch(epoch)
         epoch_start = time.time()
         for batch in dl:
             if profile_range and global_step == profile_range[0]:

@@ -202,3 +202,24 @@ class TestAsyncCheckpoint:
         for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         assert ck.load_sampler_state(30) == {"start_index": 30}
+
+    def test_uncommitted_dir_invisible_to_latest_and_prune(self, tmp_path):
+        """A step dir without a committed `state` (in-flight async write
+        or torn crash leftover) must not resolve as `latest`, must not
+        count toward retention, and resume must fall back to the last
+        good step."""
+        model, state = _state()
+        ck = Checkpointer(tmp_path, total_limit=1)
+        ck.save(10, state, sampler_state={"start_index": 10})
+        # simulate an in-flight/torn write: dir + sampler json, no state
+        torn = ck.root / "20"
+        torn.mkdir()
+        (torn / "sampler_state.json").write_text("{}")
+        (torn / "state.orbax-checkpoint-tmp-123").mkdir()
+        assert ck.steps() == [10]
+        assert ck.last_training_time == 10
+        ck.prune()  # limit=1 must keep step 10, not count torn 20
+        assert (ck.root / "10" / "state").exists()
+        restored = ck.load("latest", abstract_like(state))
+        for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -225,3 +225,76 @@ class TestLoader:
             assert b["image"].shape[0] == 2
             n += 1
         assert n == len(bs)
+
+
+class TestLoaderRobustness:
+    def test_abandoned_iterator_releases_producer(self, tmp_path):
+        """Breaking out of a loader mid-epoch (eval loop, max_steps,
+        preemption) must not leave the producer thread blocked in q.put
+        holding the worker pool open."""
+        import threading
+        import time
+
+        root = _write_parquet_dataset(tmp_path)
+        ds = ImageDataset("coll", base_image_dir=str(root), resolution=128,
+                          center_crop=True)
+        before = threading.active_count()
+        for _ in range(3):  # each abandonment must clean up
+            it = iter(DataLoader(ds, batch_size=2, num_workers=2,
+                                 prefetch=1))
+            next(it)
+            it.close()  # generator finally -> stop.set()
+        deadline = time.time() + 10
+        while time.time() < deadline:
+            if threading.active_count() <= before:
+                break
+            time.sleep(0.1)
+        assert threading.active_count() <= before
+
+    def test_concurrent_process_loaders_keep_their_datasets(self, tmp_path):
+        """Two process-worker loaders iterated concurrently must each
+        serve their OWN dataset (the fork registry is per-loader)."""
+        class Tagged:
+            def __init__(self, tag, n=8):
+                self.tag, self.n = tag, n
+
+            def __len__(self):
+                return self.n
+
+            def __getitem__(self, i):
+                return {"tag": self.tag, "idx": i}
+
+            @staticmethod
+            def collate_fn(items):
+                return items
+
+        a = DataLoader(Tagged("A"), batch_size=2, num_workers=2,
+                       worker_type="process", prefetch=1)
+        b = DataLoader(Tagged("B"), batch_size=2, num_workers=2,
+                       worker_type="process", prefetch=1)
+        ita, itb = iter(a), iter(b)
+        for _ in range(3):  # interleave: A forks, then B re-registers
+            batch_a, batch_b = next(ita), next(itb)
+            assert all(x["tag"] == "A" for x in batch_a), batch_a
+            assert all(x["tag"] == "B" for x in batch_b), batch_b
+        ita.close()
+        itb.close()
+
+
+class TestEpochAugmentation:
+    def test_caption_and_flip_vary_across_epochs(self, tmp_path):
+        """(seed, epoch, idx)-keyed item RNG: same item re-draws caption
+        choice across epochs (a (seed, idx)-only key pinned each image's
+        caption/flip for the whole run) while staying deterministic
+        within an epoch (resume replays the same draws)."""
+        root = _write_parquet_dataset(tmp_path)
+        ds = ImageDataset("coll", base_image_dir=str(root), resolution=128,
+                          center_crop=True, random_flip=True, seed=5)
+        caps = set()
+        for epoch in range(8):
+            ds.set_epoch(epoch)
+            first = ds[0]["caption"]
+            again = ds[0]["caption"]
+            assert first == again  # deterministic within the epoch
+            caps.add(first)
+        assert len(caps) > 1, caps  # both captions drawn across epochs

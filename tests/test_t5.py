@@ -160,3 +160,28 @@ def test_load_t5_encoder_from_dir(tmp_path):
         ).last_hidden_state.numpy()
     got = np.asarray(model.apply(params, jnp.asarray(ids), jnp.asarray(mask)))
     np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_load_t5_encoder_materializes_at_param_dtype(tmp_path):
+    """Serving default (bf16) must land on device AT bf16: T5-XXL as fp32
+    would be ~19 GB on a 16 GB chip. The np.float32 conversion
+    intermediates are host-side only."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+    from safetensors.numpy import save_file
+
+    from f_lite_tpu.text.t5 import load_t5_encoder
+
+    m = _torch_model("gated-gelu")
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    save_file(sd, str(tmp_path / "model.safetensors"))
+    (tmp_path / "config.json").write_text(json.dumps({
+        **TINY, "feed_forward_proj": "gated-gelu", "model_type": "t5",
+    }))
+
+    _, params, cfg = load_t5_encoder(tmp_path, dtype=jnp.bfloat16)
+    assert cfg.param_dtype == jnp.bfloat16
+    dtypes = {a.dtype for a in jax.tree.leaves(params)}
+    assert dtypes == {jnp.dtype(jnp.bfloat16)}, dtypes
