@@ -43,6 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="use the hermetic pseudo text encoder (debug)")
     p.add_argument("--quantize", action="store_true",
                    help="int8 weight-only DiT projections (~1.7x matmuls)")
+    p.add_argument("--lora_path", type=str, default=None,
+                   help="LoRA checkpoint (dir or .safetensors) merged "
+                        "into the DiT at load (`pt.py:108-136`)")
+    p.add_argument("--lora_scale", type=float, default=1.0)
     return p
 
 
@@ -59,6 +63,7 @@ def generate_images(args) -> list[Path]:
     pipe = FLitePipeline.from_pretrained(
         args.model, load_text_encoder=not args.no_text_encoder,
         quantize=args.quantize,
+        lora_path=args.lora_path, lora_scale=args.lora_scale,
     )
     if args.no_text_encoder:
         from f_lite_tpu.text.encoder import ZeroTextEncoder

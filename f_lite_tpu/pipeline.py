@@ -181,13 +181,22 @@ class FLitePipeline:
         load_text_encoder: bool = True,
         quantize: bool = False,
         pad_heads_to: int | None = None,
+        lora_path: str | Path | None = None,
+        lora_alpha: float | None = None,
+        lora_scale: float = 1.0,
     ) -> "FLitePipeline":
         """`quantize=True`: int8 weight-only projections (~1.74x matmul
         speedup on v5e, see f_lite_tpu/quant.py).
 
         `pad_heads_to=N`: zero-pad attention to N heads (exact; see
         DiTConfig.padded_heads) so a tensor-parallel degree that doesn't
-        divide num_heads (7B: 10, 10B: 12 on a v5e-8) shards evenly."""
+        divide num_heads (7B: 10, 10B: 12 on a v5e-8) shards evenly.
+
+        `lora_path`: LoRA checkpoint (dir or .safetensors from the
+        trainer's `--use_lora` run) merged into the base weights at load —
+        the reference's `pt.py:108-136` inference-LoRA path. Rank is read
+        from the factor shapes; `lora_alpha` defaults to the rank (the
+        reference's `lora_alpha=lora_rank`)."""
         path = Path(path)
         index = json.loads((path / "model_index.json").read_text())
 
@@ -223,6 +232,43 @@ class FLitePipeline:
                 "for serving", pp_saved,
             )
             dit_params = pipeline_to_scan_params(dit_params)
+        if lora_path:
+            # merge BEFORE head padding / quantization: factors attach to
+            # the raw (in, [3|2,] H, D) kernels they were trained against
+            from f_lite_tpu.train.lora import apply_lora, load_lora_weights
+
+            lora = load_lora_weights(lora_path)
+
+            def _find_rank(node):
+                for k, v in node.items():
+                    if isinstance(v, dict):
+                        r = _find_rank(v)
+                        if r:
+                            return r
+                    elif k == "lora_a":
+                        return int(v.shape[1])
+                return 0
+
+            rank = _find_rank(lora)
+            if not rank:
+                raise ValueError(f"no lora_a factors in {lora_path}")
+            alpha = float(lora_alpha) if lora_alpha is not None else rank
+            merged = apply_lora(dit_params, lora, alpha=alpha, rank=rank,
+                                scale=lora_scale)
+            n_changed = sum(
+                int(a is not b) for a, b in zip(
+                    jax.tree.leaves(dit_params), jax.tree.leaves(merged)
+                )
+            )
+            if n_changed == 0:
+                raise ValueError(
+                    "LoRA factors matched no kernels — the checkpoint "
+                    "layout (e.g. scan-stacked blocks) differs from the "
+                    "unrolled layout the factors were trained against"
+                )
+            logger.info("merged LoRA (%s): rank %d, alpha %g, %d kernels",
+                        lora_path, rank, alpha, n_changed)
+            dit_params = merged
         if pad_heads_to:
             from f_lite_tpu.convert.torch_to_jax import pad_head_params
 

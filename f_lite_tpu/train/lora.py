@@ -131,11 +131,15 @@ def save_lora_weights(lora: dict, directory) -> None:
 
 
 def load_lora_weights(directory) -> dict:
+    """`directory` may be the checkpoint dir or the .safetensors file."""
     from pathlib import Path
 
     from safetensors.numpy import load_file
 
-    flat = load_file(str(Path(directory) / "lora_weights.safetensors"))
+    p = Path(directory)
+    if p.is_dir():
+        p = p / "lora_weights.safetensors"
+    flat = load_file(str(p))
     tree: dict[str, Any] = {}
     for k, v in flat.items():
         node = tree

@@ -162,3 +162,39 @@ class TestAutoTiledDecode:
         err = np.abs(direct - imgs)
         assert err.mean() < 0.02 and err.max() < 0.5, (
             err.mean(), err.max())
+
+
+class TestInferenceLoRA:
+    def test_lora_path_merges_at_load(self, pipe, tmp_path):
+        """from_pretrained(lora_path=...) merges trained factors into the
+        base weights — the reference's pt.py:108-136 inference-LoRA path.
+        Zero factors are identity; non-zero factors change the output."""
+        import jax
+
+        from f_lite_tpu.train.lora import init_lora_params, save_lora_weights
+
+        pipe.save_pretrained(tmp_path / "model")
+        lora = init_lora_params(jax.random.key(3), pipe.dit_params, rank=2)
+        # fresh factors have lora_b == 0 (identity merge); make them act
+        lora = jax.tree.map(lambda x: x + 0.05, lora)
+        save_lora_weights(lora, tmp_path)
+
+        kw = dict(prompt="l", height=16, width=16, num_inference_steps=1,
+                  seed=9, output_type="np")
+        base = FLitePipeline.from_pretrained(
+            tmp_path / "model", load_text_encoder=False)
+        base.text_encoder = ZeroTextEncoder(embed_dim=32, seq_len=8)
+        with_lora = FLitePipeline.from_pretrained(
+            tmp_path / "model", load_text_encoder=False,
+            lora_path=tmp_path / "lora_weights.safetensors")
+        with_lora.text_encoder = ZeroTextEncoder(embed_dim=32, seq_len=8)
+        zero_scale = FLitePipeline.from_pretrained(
+            tmp_path / "model", load_text_encoder=False,
+            lora_path=tmp_path, lora_scale=0.0)  # dir form + identity
+        zero_scale.text_encoder = ZeroTextEncoder(embed_dim=32, seq_len=8)
+
+        a = base(**kw).images
+        b = with_lora(**kw).images
+        c = zero_scale(**kw).images
+        assert not np.array_equal(a, b)
+        np.testing.assert_array_equal(a, c)
