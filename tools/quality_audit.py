@@ -55,10 +55,15 @@ def trajectory(model_apply, params, z0, pos, neg, mask, steps, alpha, g,
     # lowered program as multi-GB captured constants
     @jax.jit
     def step(p, z, t_scalar):
-        z_in = jnp.concatenate([z, z], 0).astype(compute_dtype)
+        # dtype contract matches the serving sampler exactly
+        # (sampling/euler.py:70-81): z and t stay fp32 at the model input
+        # — the model casts internally — while the text context arrives at
+        # the serving dtype (pipeline encodes to bf16). Casting z/t to
+        # bf16 here would charge the audit rounding serving never incurs.
+        z_in = jnp.concatenate([z, z], 0)
         c_in = jnp.concatenate([neg, pos], 0).astype(compute_dtype)
         m_in = jnp.concatenate([mask, mask], 0)
-        t_in = jnp.full((z_in.shape[0],), t_scalar, compute_dtype)
+        t_in = jnp.full((z_in.shape[0],), t_scalar, z.dtype)
         v = model_apply(p, z_in, c_in, m_in, t_in)
         v = v.astype(jnp.float32)
         b = z.shape[0]
