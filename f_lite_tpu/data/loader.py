@@ -20,17 +20,23 @@ Worker types (`tools/bench_input_pipeline.py` measures both):
 from __future__ import annotations
 
 import functools
+import itertools
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterable
 
-# per-loader registry (keyed by id(loader)): forked children inherit the
-# whole dict and each pool's tasks carry their own token, so two loaders
-# iterated concurrently (train + val) can never serve each other's items
-# (a single module-level slot raced: B's assignment between A's fork and
-# A's first map would bind A's workers to B's dataset)
+# per-iteration registry: forked children inherit the whole dict and each
+# pool's tasks carry their own token, so two loaders iterated concurrently
+# (train + val) can never serve each other's items (a single module-level
+# slot raced: B's assignment between A's fork and A's first map would bind
+# A's workers to B's dataset). Tokens come from a monotonic counter — not
+# id(self), which CPython reuses after a loader dies and could re-bind a
+# dead pool's in-flight lookups to a new loader's dataset — and each entry
+# is unregistered when its pool shuts down (produce()'s finally), so
+# short-lived loaders don't pin their datasets for the process lifetime.
 _FORK_DATASETS: dict[int, object] = {}
+_FORK_TOKENS = itertools.count()
 
 
 def _fork_getitem(token, idx):
@@ -85,17 +91,19 @@ class DataLoader:
             # Re-registered on every pool creation (one pool per __iter__),
             # so epoch-dependent dataset state (set_epoch) is current in
             # the children of each fresh epoch's fork.
-            token = id(self)
+            token = next(_FORK_TOKENS)
             _FORK_DATASETS[token] = self.dataset
             ctx = multiprocessing.get_context("fork")
             return (
                 ProcessPoolExecutor(self.num_workers, mp_context=ctx,
                                     initializer=_fork_child_init),
                 functools.partial(_fork_getitem, token),
+                token,
             )
         return (
             ThreadPoolExecutor(self.num_workers),
             self.dataset.__getitem__,
+            None,
         )
 
     def _batches(self):
@@ -147,19 +155,26 @@ class DataLoader:
             return False
 
         def produce():
-            pool, getitem = self._make_pool()
-            with pool:
-                try:
+            # pool creation sits INSIDE the try: if _make_pool raises
+            # (fork unavailable, EMFILE on executor pipes) the error must
+            # reach the consumer — dying before the finally would leave
+            # q.get() blocked forever with no signal
+            token = None
+            try:
+                pool, getitem, token = self._make_pool()
+                with pool:
                     for batch_idx in self._batches():
                         if stop.is_set():
                             return
                         items = list(pool.map(getitem, batch_idx))
                         if not put(self.collate_fn(items)):
                             return
-                except Exception as e:  # surface worker errors to consumer
-                    put(e)
-                finally:
-                    put(_END)
+            except Exception as e:  # surface worker errors to consumer
+                put(e)
+            finally:
+                if token is not None:
+                    _FORK_DATASETS.pop(token, None)
+                put(_END)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()

@@ -70,13 +70,21 @@ class StatefulDistributedSampler:
         self.epoch = epoch
 
     def state_dict(self, global_step: int) -> dict:
+        # epoch is part of the resume state: the shuffle permutation is
+        # keyed on seed+epoch, so a resume that restarted at epoch 0
+        # would replay epoch-0 sample order instead of continuing the
+        # interrupted epoch's
         return {
             "start_index": (global_step * self.batch_size)
-            % self.num_samples
+            % self.num_samples,
+            "epoch": self.epoch,
+            "seed": self.seed,
+            "shuffle": self.shuffle,
         }
 
     def load_state_dict(self, state: dict):
         self.start_index = state.get("start_index", 0)
+        self.epoch = state.get("epoch", 0)
         self.seed = state.get("seed", self.seed)
         self.shuffle = state.get("shuffle", self.shuffle)
 
@@ -128,7 +136,8 @@ class ResolutionBucketSampler:
             batches = batches[self.rank :: self.num_replicas]
         return iter(batches[self.start_batch_index :])
 
-    def __len__(self):
+    def _total_batches(self) -> int:
+        """Full-epoch batch count, independent of the resume offset."""
         if self.drop_last:
             total = sum(
                 len(v) // self.batch_size for v in self.buckets.values()
@@ -140,13 +149,19 @@ class ResolutionBucketSampler:
             )
         if self.num_replicas is not None:
             total = -(-total // self.num_replicas)
-        return max(0, total - self.start_batch_index)
+        return total
+
+    def __len__(self):
+        return max(0, self._total_batches() - self.start_batch_index)
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
 
     def state_dict(self, global_step: int) -> dict:
-        n = len(self)
+        # modulus must be the FULL epoch length: len(self) shrinks by the
+        # restored offset after a resume, which would make every later
+        # save map global_step to the wrong position
+        n = self._total_batches()
         return {
             "start_batch_index": global_step % n if n else 0,
             "epoch": self.epoch,

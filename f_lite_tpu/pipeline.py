@@ -122,7 +122,13 @@ class FLitePipeline:
         )
         self.return_index = -8  # hidden-state index (`pipeline.py:83`)
         self._denoise_cache: dict[Any, Any] = {}
-        self._decode_mode = "direct"  # direct | sliced | tiled
+        # "auto" = direct decode, switching to tiled past 1024px output
+        # (a full 2048px decode wants 16.5 GB of decoder activations —
+        # measured HBM OOM on a 16 GB v5e). Calling a memory-mode setter
+        # (or assigning _decode_mode) makes the choice explicit and
+        # disables the auto override — larger-HBM chips can force
+        # "direct" at any size.
+        self._decode_mode = "auto"  # auto | direct | sliced | tiled
 
     # ---- memory modes (reference `pipeline.py:85-93`) -------------------
     def enable_vae_slicing(self):
@@ -498,12 +504,14 @@ class FLitePipeline:
         z = denormalize_latents(
             final.astype(jnp.float32), self.vae.config
         )
-        if self._decode_mode == "tiled" or max(z.shape[1:3]) > 128:
-            # auto-tile past 1024px regardless of mode: a full 2048px
-            # decode wants 16.5 GB of decoder activations (measured HBM
-            # OOM on the 16 GB chip) — tiling is the only decode that runs
+        mode = self._decode_mode
+        if mode == "auto":
+            # past 1024px output the full decode OOMs a 16 GB chip (see
+            # __init__); an explicitly-set mode is always respected
+            mode = "tiled" if max(z.shape[1:3]) > 128 else "direct"
+        if mode == "tiled":
             decoded = decode_tiled(self.vae, self.vae_params, z)
-        elif self._decode_mode == "sliced":
+        elif mode == "sliced":
             decoded = decode_sliced(self.vae, self.vae_params, z)
         else:
             decoded = self.vae.apply(

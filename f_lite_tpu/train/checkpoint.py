@@ -74,13 +74,24 @@ class Checkpointer:
         training proceeds (Orbax async). The next save (or an explicit
         `wait_until_finished`) drains it, so at most one write is ever in
         flight and `prune` can never race an in-flight directory (it only
-        removes the oldest dirs; the in-flight one is the newest)."""
+        removes the oldest dirs; the in-flight one is the newest).
+
+        Write order matters: extras (e.g. ema) go FIRST, the state tree —
+        whose directory is the commit marker `steps()` checks — LAST.
+        Orbax drains the previous async write at the head of each save,
+        so state-first would (a) leave a window where `{step}/state`
+        exists but the ema write is torn (a crash there resumes with the
+        run-long EMA silently reinitialized) and (b) pay the multi-GB
+        state-write latency synchronously inside the next (small) extra
+        save, defeating `wait=False`. Extras-first closes both: a torn
+        extra leaves no commit marker, and the dominant state write is
+        the one left draining in the background."""
         d = self._dir(step)
         # drain any still-running async write before starting a new one
         self._ckptr.wait_until_finished()
-        self._ckptr.save(d / "state", state, force=True)
         for name, tree in (extra or {}).items():
             self._ckptr.save(d / name, tree, force=True)
+        self._ckptr.save(d / "state", state, force=True)
         if wait:
             self._ckptr.wait_until_finished()
         if sampler_state is not None:

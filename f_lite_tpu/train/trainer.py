@@ -242,7 +242,12 @@ def build_text_encoder(args):
     if args.text_encoder_type == "t5" and args.text_encoder_path:
         from f_lite_tpu.text.encoder import T5TextEncoder
 
-        return T5TextEncoder(args.text_encoder_path)
+        # FLUX-style layouts keep the tokenizer in a sibling subfolder
+        # (text_encoder_2/ + tokenizer_2/) — --processor_path points at it
+        return T5TextEncoder(
+            args.text_encoder_path,
+            tokenizer_path=getattr(args, "processor_path", None),
+        )
     if args.text_encoder_type == "qwen2" and args.text_encoder_path:
         from f_lite_tpu.text.qwen2 import Qwen2TextEncoder
         from f_lite_tpu.text.templates import training_chat_messages
@@ -257,7 +262,9 @@ def build_text_encoder(args):
         from f_lite_tpu.text.templates import training_chat_messages
 
         return TorchTextEncoder(
-            args.text_encoder_path, message_fn=training_chat_messages
+            args.text_encoder_path,
+            processor_path=getattr(args, "processor_path", None),
+            message_fn=training_chat_messages,
         )
     from f_lite_tpu.text.encoder import ZeroTextEncoder
 
@@ -879,7 +886,12 @@ def train(args) -> dict:
 
     stop = False
     result = {}
-    for epoch in range(args.num_epochs):
+    # resume continues inside the epoch the checkpoint was taken in: both
+    # samplers persist `epoch` (the shuffle key is seed+epoch), so
+    # restarting at 0 would replay epoch-0 sample order and augmentation
+    # draws for the remainder of the interrupted epoch
+    start_epoch = int(getattr(sampler, "epoch", 0))
+    for epoch in range(start_epoch, args.num_epochs):
         if hasattr(sampler, "set_epoch"):
             sampler.set_epoch(epoch)
         if hasattr(dl.dataset, "set_epoch"):
@@ -1022,6 +1034,10 @@ def train(args) -> dict:
                     time.time() - epoch_start)
         if stop:
             break
+        if hasattr(sampler, "reset"):
+            # the restored mid-epoch offset applies only to the resumed
+            # epoch; later epochs must iterate the full dataset
+            sampler.reset(0)
 
     if args.graceful_term and prev_handlers:
         for _s, _h in prev_handlers.items():

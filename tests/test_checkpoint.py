@@ -223,3 +223,29 @@ class TestAsyncCheckpoint:
         restored = ck.load("latest", abstract_like(state))
         for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_extras_written_before_commit_marker(self, tmp_path):
+        """Extras (ema) must be written BEFORE the state tree: `steps()`
+        treats `{step}/state` as the commit marker, so state-first left a
+        window where a crash during the ema write produced a "committed"
+        checkpoint with no EMA — silently reinitialized on resume. It
+        also made `wait=False` drain the multi-GB state write
+        synchronously inside the (small) ema save."""
+        model, state = _state()
+        ck = Checkpointer(tmp_path)
+        order = []
+        orig = ck._ckptr.save
+
+        def recording_save(path, *a, **k):
+            order.append(path.name)
+            return orig(path, *a, **k)
+
+        ck._ckptr.save = recording_save
+        ema = jax.tree.map(np.asarray, state.params)
+        ck.save(5, state, extra={"ema": ema})
+        assert order == ["ema", "state"]
+        # torn-crash simulation: extras present, no state -> uncommitted
+        d = ck.root / "7"
+        d.mkdir()
+        (d / "ema").mkdir()
+        assert ck.steps() == [5]

@@ -201,6 +201,35 @@ class TestSamplers:
         bs.load_state_dict({"start_batch_index": 3, "epoch": 0, "seed": 5})
         assert list(bs) == all_batches[3:]
 
+    def test_resume_preserves_epoch(self):
+        """The shuffle key is seed+epoch: resuming a run interrupted in
+        epoch 2 must continue epoch 2's permutation, not epoch 0's."""
+        ds = self._ds(60)
+        s = StatefulDistributedSampler(ds, 2, 1, 0, shuffle=True, seed=9)
+        s.set_epoch(2)
+        full_epoch2 = list(s)
+        state = s.state_dict(global_step=5)  # 10 samples consumed
+        assert state["epoch"] == 2
+        s2 = StatefulDistributedSampler(ds, 2, 1, 0, shuffle=True, seed=9)
+        s2.load_state_dict(state)
+        assert s2.epoch == 2
+        assert list(s2) == full_epoch2[10:]
+
+    def test_bucket_state_modulus_ignores_resume_offset(self, tmp_path):
+        """state_dict's position modulus is the FULL epoch length:
+        len(self) shrinks by the restored offset after a resume, which
+        mapped later saves to the wrong position."""
+        root = _write_parquet_dataset(tmp_path)
+        ds = ImageDataset("coll", base_image_dir=str(root), resolution=128,
+                          center_crop=False)
+        bs = ResolutionBucketSampler(ds, batch_size=2, shuffle=True, seed=5)
+        n = bs._total_batches()
+        assert n > 3
+        bs.load_state_dict({"start_batch_index": 3, "epoch": 1, "seed": 5})
+        # one full epoch of steps must wrap back to position 0
+        assert bs.state_dict(global_step=n)["start_batch_index"] == 0
+        assert bs.state_dict(global_step=n + 2)["start_batch_index"] == 2
+
 
 class TestLoader:
     def test_iterates_batches(self, tmp_path):
@@ -279,6 +308,47 @@ class TestLoaderRobustness:
             assert all(x["tag"] == "B" for x in batch_b), batch_b
         ita.close()
         itb.close()
+
+    def test_pool_creation_failure_surfaces(self, tmp_path, monkeypatch):
+        """If worker-pool creation fails (fork unavailable, EMFILE), the
+        consumer must receive the error — not block forever on q.get()
+        because the producer died before posting the end marker."""
+        import pytest
+
+        root = _write_parquet_dataset(tmp_path)
+        ds = ImageDataset("coll", base_image_dir=str(root), resolution=128,
+                          center_crop=True)
+        dl = DataLoader(ds, batch_size=2, num_workers=2)
+
+        def boom(self):
+            raise OSError("no pipes left")
+
+        monkeypatch.setattr(DataLoader, "_make_pool", boom)
+        with pytest.raises(OSError, match="no pipes left"):
+            next(iter(dl))
+
+    def test_fork_registry_unregisters_after_iteration(self):
+        """Process-worker loaders must drop their registry entry when the
+        pool shuts down — a leaked entry pins the dataset for the process
+        lifetime."""
+        from f_lite_tpu.data import loader as loader_mod
+
+        class Tiny:
+            def __len__(self):
+                return 4
+
+            def __getitem__(self, i):
+                return {"idx": i}
+
+            @staticmethod
+            def collate_fn(items):
+                return items
+
+        before = dict(loader_mod._FORK_DATASETS)
+        dl = DataLoader(Tiny(), batch_size=2, num_workers=2,
+                        worker_type="process", prefetch=1)
+        assert len(list(dl)) == 2
+        assert loader_mod._FORK_DATASETS == before
 
 
 class TestEpochAugmentation:

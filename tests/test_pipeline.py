@@ -134,15 +134,15 @@ class TestCLI:
 
 class TestAutoTiledDecode:
     def test_large_latents_auto_tile(self, pipe):
-        """>128 latent (>= ~1024px real-model): decode auto-tiles even in
-        'direct' mode — a full decode at 2048px wants 16.5 GB of decoder
-        activations (PERF.md). Output must match the direct decode at a
-        size where both run (seams are blended, not bit-equal)."""
+        """>128 latent (>= ~1024px real-model): the default 'auto' decode
+        switches to tiled — a full decode at 2048px wants 16.5 GB of
+        decoder activations (PERF.md). Output must match the direct
+        decode at a size where both run (seams blended, not bit-equal)."""
         from f_lite_tpu.models.vae import denormalize_latents
 
         kw = dict(prompt="t", height=260, width=260, num_inference_steps=1,
                   seed=4, output_type="np")
-        assert pipe._decode_mode == "direct"
+        assert pipe._decode_mode == "auto"
         imgs = pipe(**kw).images
         assert imgs.shape == (1, 260, 260, 3)
         assert np.isfinite(imgs).all()
@@ -162,6 +162,30 @@ class TestAutoTiledDecode:
         err = np.abs(direct - imgs)
         assert err.mean() < 0.02 and err.max() < 0.5, (
             err.mean(), err.max())
+
+    def test_explicit_mode_respected_over_auto(self, pipe):
+        """An explicitly-set decode mode disables the auto override:
+        larger-HBM hardware (v4/v5p) can force a full direct decode at
+        any size, and the result is the bit-exact non-tiled decode."""
+        from f_lite_tpu.models.vae import denormalize_latents
+
+        kw = dict(prompt="t", height=260, width=260, num_inference_steps=1,
+                  seed=4, output_type="np")
+        pipe._decode_mode = "direct"
+        try:
+            imgs = pipe(**kw).images
+            z = pipe(**{**kw, "return_latents": True}).images
+            z = denormalize_latents(
+                jnp.asarray(z, jnp.float32), pipe.vae.config
+            )
+            direct = np.asarray(
+                pipe.vae.apply(pipe.vae_params, z,
+                               method=type(pipe.vae).decode),
+                np.float32,
+            )
+            np.testing.assert_allclose(imgs, direct, atol=1e-5)
+        finally:
+            pipe._decode_mode = "auto"
 
 
 class TestInferenceLoRA:

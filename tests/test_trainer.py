@@ -82,6 +82,32 @@ class TestTrainLoop:
         result = train(args2)
         assert result["global_step"] == 4
 
+    def test_resume_mid_epoch_continues_that_epoch(self, tmp_path):
+        """Preempted in epoch 1 of 3, the resumed run must (a) continue
+        inside epoch 1 (not replay epoch 0's shuffle) and (b) iterate
+        later epochs in FULL (the restored mid-epoch offset must not
+        leak into them). 24 imgs / batch 4 = 6 batches per epoch;
+        stopping at step 8 leaves 4 batches of epoch 1 + 6 of epoch 2
+        = exactly 18 total steps."""
+        root = _write_parquet_dataset(tmp_path)
+        out = tmp_path / "out"
+        args = parse_args(_base_argv(root, out) + [
+            "--num_epochs", "3", "--max_steps", "8",
+            "--checkpointing_steps", "8",
+        ])
+        train(args)
+        ckpt_state = json.loads(
+            (out / "checkpoints" / "8" / "sampler_state.json").read_text()
+        )
+        assert ckpt_state["epoch"] == 1  # saved mid-epoch-1
+        args2 = parse_args(_base_argv(root, out) + [
+            "--num_epochs", "3", "--max_steps", "100",
+            "--checkpointing_steps", "100",
+            "--resume_from_checkpoint", "latest",
+        ])
+        result = train(args2)
+        assert result["global_step"] == 18
+
     def test_resume_pipeline_parallel(self, tmp_path):
         # Orbax save/restore round-trips the pipeline param layout
         # ((pp, units/stage, ...) leaves under <trunk>/pipe/stages) and

@@ -70,6 +70,13 @@ def trajectory(model_apply, params, z0, pos, neg, mask, steps, alpha, g,
         return v[:b] + g * (v[b:] - v[:b])
 
     z = jnp.asarray(z0, jnp.float32)
+    # warm up: the int8 per-step program compiles ~2 min (quant/dequant
+    # ops per projection, no scan dedup) vs seconds for fp32/bf16 —
+    # charging that to traj_seconds made int8 look 7x slower per step
+    # than it is. Compile is recorded separately.
+    c0 = time.time()
+    np.asarray(step(params, z, float(shift_t(1.0, alpha))))
+    compile_s = time.time() - c0
     lat = []
     t0 = time.time()
     for i in range(steps, 0, -1):
@@ -78,7 +85,7 @@ def trajectory(model_apply, params, z0, pos, neg, mask, steps, alpha, g,
         v = step(params, z, float(t))
         z = z + (t - t_next) * v
         lat.append(np.asarray(z, np.float32))  # forces completion
-    return lat, time.time() - t0
+    return lat, time.time() - t0, compile_s
 
 
 def quantize_consuming(params):
@@ -209,6 +216,7 @@ def main():
 
     trajs: dict[str, list] = {}
     times: dict[str, float] = {}
+    compiles: dict[str, float] = {}
     for mode in modes:
         if mode == "int8":
             print("quantizing (consuming walk) ...", flush=True)
@@ -222,11 +230,12 @@ def main():
             cfg = cfg_master
         m = DiT(cfg)
         print(f"[{mode}] {args.steps}-step trajectory ...", flush=True)
-        trajs[mode], times[mode] = trajectory(
+        trajs[mode], times[mode], compiles[mode] = trajectory(
             m.apply, params, z0, ctx, neg, mask, args.steps, alpha, g,
             cfg.dtype,
         )
-        print(f"  {times[mode]:.1f} s", flush=True)
+        print(f"  {times[mode]:.1f} s (+{compiles[mode]:.1f} s compile)",
+              flush=True)
 
     finals = {m: trajs[m][-1] for m in modes}
     # free the DiT before the fp32 VAE decode
@@ -262,6 +271,7 @@ def main():
         "guidance_scale": g, "seed": args.seed,
         "master_dtype": np.dtype(master_dtype).name,
         "traj_seconds": {k: round(v, 1) for k, v in times.items()},
+        "compile_seconds": {k: round(v, 1) for k, v in compiles.items()},
         "comparisons": {},
     }
     for a, b in pairs:
