@@ -20,9 +20,12 @@ When gradients are needed the forward also emits the log-sum-exp residual
 (lane-replicated, like jax's reference kernel stores l/m).
 
 Backward: two Pallas kernels, O(L) memory (never materializes the L^2
-matrix — the property that makes 1024px+ training fit):
+matrix — the property that makes 1024px+ training fit). D = rowsum(dO*O)
+is precomputed ONCE outside the kernels (FA2), lane-replicated like lse —
+recomputing it per tile cost a (bq, d) VPU reduction in every (q, k) pair
+of BOTH kernels and streamed O through VMEM nk (resp. nq) times:
 - dq kernel, grid (B, H, nq, nk): recompute P from (q, k, lse), then
-  dP = dO V^T, D = rowsum(dO*O), dS = P (dP - D), dq += dS K * scale;
+  dP = dO V^T, dS = P (dP - D), dq += dS K * scale;
 - dkv kernel, grid (B, H, nk, nq): same recompute per (k, q) tile,
   dv += P^T dO and dk += dS^T Q * scale.
 """
@@ -228,7 +231,7 @@ def _flash_forward(q, k, v, kv_lens, scale, block_q, block_k, interpret,
 # ---------------------------------------------------------------------------
 
 def _dq_kernel(
-    len_ref, q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref, dq_ref,
+    len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref,
     dq_scratch,
     *, scale: float, num_k_blocks: int, block_k: int, masked: bool,
 ):
@@ -243,8 +246,8 @@ def _dq_kernel(
     k = k_ref[0, 0]
     v = v_ref[0, 0]
     do = do_ref[0, 0]
-    o = o_ref[0, 0]
     lse = lse_ref[0, 0]  # (bq, 128) lane-replicated
+    di = di_ref[0, 0]    # (bq, 128) lane-replicated rowsum(dO*O)
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -259,13 +262,10 @@ def _dq_kernel(
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (bq, bk)
-    di = jnp.sum(
-        do.astype(jnp.float32) * o.astype(jnp.float32), axis=1
-    )[:, None]  # (bq, 1)
-    # lane-replicate (bq,1)->(bq,128)->tile to (bq,bk): Mosaic-safe widening
-    di_full = jnp.tile(
-        jnp.broadcast_to(di, (di.shape[0], _LANES)), (1, k_repeats)
-    )
+    # di precomputed once outside (FA2): recomputing rowsum(dO*O) here
+    # cost a (bq, d) VPU reduction per tile AND streamed O through VMEM
+    # num_k_blocks times per q block
+    di_full = jnp.tile(di, (1, k_repeats))
     ds = p * (dp - di_full)  # (bq, bk) fp32
     dq_scratch[:] += jax.lax.dot_general(
         ds.astype(q.dtype), k, (((1,), (0,)), ((), ())),
@@ -278,7 +278,7 @@ def _dq_kernel(
 
 
 def _dkv_kernel(
-    len_ref, q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+    len_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
     dk_ref, dv_ref, dk_scratch, dv_scratch,
     *, scale: float, num_q_blocks: int, block_k: int, masked: bool,
 ):
@@ -295,8 +295,8 @@ def _dkv_kernel(
     k = k_ref[0, 0]
     v = v_ref[0, 0]
     do = do_ref[0, 0]
-    o = o_ref[0, 0]
     lse = lse_ref[0, 0]
+    di = di_ref[0, 0]  # (bq, 128) lane-replicated rowsum(dO*O)
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -317,12 +317,7 @@ def _dkv_kernel(
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    di = jnp.sum(
-        do.astype(jnp.float32) * o.astype(jnp.float32), axis=1
-    )[:, None]
-    di_full = jnp.tile(
-        jnp.broadcast_to(di, (di.shape[0], _LANES)), (1, k_repeats)
-    )
+    di_full = jnp.tile(di, (1, k_repeats))
     ds = (p * (dp - di_full)).astype(q.dtype)  # (bq, bk)
     # dk += dS^T Q * scale  (bk, d)
     dk_scratch[:] += jax.lax.dot_general(
@@ -353,6 +348,16 @@ def _flash_backward(q, k, v, kv_lens, scale, block_q, block_k, interpret,
             else kv_lens.astype(jnp.int32))
     nq, nk = lq_p // block_q, lk_p // block_k
 
+    # FA2: rowsum(dO*O) computed ONCE here (one bandwidth-bound XLA pass
+    # over dO/O) instead of per (q, k) tile inside both kernels — which
+    # also drops O from the kernel input streams entirely (one fewer
+    # (block, d) buffer fetched per grid step). Lane-replicated like lse.
+    di = jnp.sum(
+        do.astype(jnp.float32) * o_padded.astype(jnp.float32), axis=3,
+        keepdims=True,
+    )  # (b, h, lq_p, 1)
+    di = jnp.broadcast_to(di, (*di.shape[:3], _LANES))
+
     q_map = lambda bi, hi, qi, ki, s_: (bi, hi, qi, 0)
     k_map = lambda bi, hi, qi, ki, s_: (bi, hi, ki, 0)
 
@@ -369,7 +374,7 @@ def _flash_backward(q, k, v, kv_lens, scale, block_q, block_k, interpret,
                 pl.BlockSpec((1, 1, block_k, d_p), k_map),
                 pl.BlockSpec((1, 1, block_k, d_p), k_map),
                 pl.BlockSpec((1, 1, block_q, d_p), q_map),
-                pl.BlockSpec((1, 1, block_q, d_p), q_map),
+                pl.BlockSpec((1, 1, block_q, _LANES), q_map),
                 pl.BlockSpec((1, 1, block_q, _LANES), q_map),
             ],
             out_specs=pl.BlockSpec((1, 1, block_q, d_p), q_map),
@@ -377,7 +382,7 @@ def _flash_backward(q, k, v, kv_lens, scale, block_q, block_k, interpret,
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, lq_p, d_p), q.dtype),
         interpret=interpret,
-    )(lens, q_p, k_p, v_p, do, o_padded, lse)
+    )(lens, q_p, k_p, v_p, do, lse, di)
 
     kq_map = lambda bi, hi, ki, qi, s_: (bi, hi, qi, 0)
     kk_map = lambda bi, hi, ki, qi, s_: (bi, hi, ki, 0)
@@ -394,7 +399,7 @@ def _flash_backward(q, k, v, kv_lens, scale, block_q, block_k, interpret,
                 pl.BlockSpec((1, 1, block_k, d_p), kk_map),
                 pl.BlockSpec((1, 1, block_k, d_p), kk_map),
                 pl.BlockSpec((1, 1, block_q, d_p), kq_map),
-                pl.BlockSpec((1, 1, block_q, d_p), kq_map),
+                pl.BlockSpec((1, 1, block_q, _LANES), kq_map),
                 pl.BlockSpec((1, 1, block_q, _LANES), kq_map),
             ],
             out_specs=[
@@ -411,7 +416,7 @@ def _flash_backward(q, k, v, kv_lens, scale, block_q, block_k, interpret,
             jax.ShapeDtypeStruct((b, h, lk_p, d_p), v.dtype),
         ],
         interpret=interpret,
-    )(lens, q_p, k_p, v_p, do, o_padded, lse)
+    )(lens, q_p, k_p, v_p, do, lse, di)
 
     dq = dq[:, :, :lq, :d]
     dk = dk[:, :, :lk, :d]

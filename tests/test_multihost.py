@@ -94,8 +94,9 @@ class TestTwoProcessTrainStep:
         outs = []
         for p in procs:
             # generous: two jax.distributed processes each compile a train
-            # step; under CI/load contention 300s has proven flaky
-            out, _ = p.communicate(timeout=600)
+            # step; under CI/load contention 600s has proven flaky (the
+            # full suite running beside another heavy job hit it)
+            out, _ = p.communicate(timeout=1800)
             outs.append(out)
         for p, out in zip(procs, outs):
             assert p.returncode == 0, out[-3000:]
