@@ -223,7 +223,7 @@ def _flash_forward(q, k, v, kv_lens, scale, block_q, block_k, interpret,
         out_s = out[:, :, :lq, :d]
     else:
         out_s = out
-    return out_s, (out, lse)
+    return out_s, lse
 
 
 # ---------------------------------------------------------------------------
@@ -332,7 +332,7 @@ def _dkv_kernel(
 
 
 def _flash_backward(q, k, v, kv_lens, scale, block_q, block_k, interpret,
-                    o_padded, lse, g):
+                    di, lse, g):
     b, h = q.shape[:2]
     q_p, k_p, v_p, (lq, lk, d, lq_p, lk_p, d_p) = _pad_qkv(
         q, k, v, block_q, block_k
@@ -348,14 +348,10 @@ def _flash_backward(q, k, v, kv_lens, scale, block_q, block_k, interpret,
             else kv_lens.astype(jnp.int32))
     nq, nk = lq_p // block_q, lk_p // block_k
 
-    # FA2: rowsum(dO*O) computed ONCE here (one bandwidth-bound XLA pass
-    # over dO/O) instead of per (q, k) tile inside both kernels — which
-    # also drops O from the kernel input streams entirely (one fewer
-    # (block, d) buffer fetched per grid step). Lane-replicated like lse.
-    di = jnp.sum(
-        do.astype(jnp.float32) * o_padded.astype(jnp.float32), axis=3,
-        keepdims=True,
-    )  # (b, h, lq_p, 1)
+    # di = rowsum(dO*O), precomputed by the caller over the unpadded
+    # arrays (FA2); pad rows and lane-replicate like lse
+    if di.shape[2] != lq_p:
+        di = jnp.pad(di, ((0, 0), (0, 0), (0, lq_p - di.shape[2]), (0, 0)))
     di = jnp.broadcast_to(di, (*di.shape[:3], _LANES))
 
     q_map = lambda bi, hi, qi, ki, s_: (bi, hi, qi, 0)
@@ -430,7 +426,7 @@ def _flash_backward(q, k, v, kv_lens, scale, block_q, block_k, interpret,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def _flash_attention(q, k, v, kv_lens, scale, block_q, block_k, interpret):
-    out, _ = _flash_forward(
+    out, _lse = _flash_forward(
         q, k, v, kv_lens, scale, block_q, block_k, interpret, save_lse=False
     )
     return out
@@ -442,27 +438,30 @@ def _flash_fwd_vjp(q, k, v, kv_lens, scale, block_q, block_k, interpret):
     # the backward kernels dominate)
     block_q = min(block_q, 512)
     block_k = min(block_k, 256)
-    out, (o_padded, lse) = _flash_forward(
+    out, lse = _flash_forward(
         q, k, v, kv_lens, scale, block_q, block_k, interpret, save_lse=True
     )
-    return out, (q, k, v, kv_lens, o_padded, lse)
+    # residual O is the UNPADDED forward output: XLA aliases it with the
+    # value already flowing downstream, so (unlike saving the padded
+    # kernel buffer) it adds no extra O-sized residual and no pad copy
+    return out, (q, k, v, kv_lens, out, lse)
 
 
 def _flash_bwd_vjp(scale, block_q, block_k, interpret, residuals, g):
-    q, k, v, kv_lens, o_padded, lse = residuals
+    q, k, v, kv_lens, out, lse = residuals
     # backward kernels stream 5 q-sized operands + lse per invocation:
     # fixed moderate blocks regardless of the forward's choice
     block_q = min(block_q, 512)
     block_k = min(block_k, 256)
-    lq_p, d_p = o_padded.shape[2], o_padded.shape[3]
-    if g.shape[2] != lq_p or g.shape[3] != d_p:
-        g = jnp.pad(
-            g, ((0, 0), (0, 0), (0, lq_p - g.shape[2]),
-                (0, d_p - g.shape[3]))
-        )
+    # FA2: D = rowsum(dO*O) computed ONCE over the unpadded arrays (one
+    # bandwidth-bound pass) instead of per (q, k) tile inside both
+    # kernels — drops O from the kernel input streams entirely
+    di = jnp.sum(
+        g.astype(jnp.float32) * out.astype(jnp.float32), axis=3,
+        keepdims=True,
+    )  # (b, h, lq, 1)
     dq, dk, dv = _flash_backward(
-        q, k, v, kv_lens, scale, block_q, block_k, interpret, o_padded,
-        lse, g,
+        q, k, v, kv_lens, scale, block_q, block_k, interpret, di, lse, g,
     )
     return dq, dk, dv, None
 
