@@ -1,6 +1,8 @@
 """Data engine tests: crop math, buckets, dummy backend, samplers, loader,
 collate homogenization, placeholder fault tolerance."""
 
+import time
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -344,11 +346,18 @@ class TestLoaderRobustness:
             def collate_fn(items):
                 return items
 
-        before = dict(loader_mod._FORK_DATASETS)
+        # compare by set-difference, not equality: an earlier test's
+        # closed loaders unregister asynchronously (produce()'s finally
+        # runs after pool shutdown), so stale entries may vanish from
+        # under an exact-dict snapshot mid-test
+        before = set(loader_mod._FORK_DATASETS)
         dl = DataLoader(Tiny(), batch_size=2, num_workers=2,
                         worker_type="process", prefetch=1)
         assert len(list(dl)) == 2
-        assert loader_mod._FORK_DATASETS == before
+        deadline = time.time() + 10
+        while time.time() < deadline and set(loader_mod._FORK_DATASETS) - before:
+            time.sleep(0.05)
+        assert not set(loader_mod._FORK_DATASETS) - before
 
 
 class TestEpochAugmentation:
