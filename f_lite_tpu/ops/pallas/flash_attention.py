@@ -353,6 +353,14 @@ def _flash_backward(q, k, v, kv_lens, scale, block_q, block_k, interpret,
     if di.shape[2] != lq_p:
         di = jnp.pad(di, ((0, 0), (0, 0), (0, lq_p - di.shape[2]), (0, 0)))
     di = jnp.broadcast_to(di, (*di.shape[:3], _LANES))
+    # an overridden bwd_block_q can pad q differently than the forward
+    # padded lse: align rows (extra pad rows are harmless — their do is
+    # zero, so ds/dv contributions vanish and p stays finite)
+    if lse.shape[2] > lq_p:
+        lse = lse[:, :, :lq_p]
+    elif lse.shape[2] < lq_p:
+        lse = jnp.pad(lse, ((0, 0), (0, 0), (0, lq_p - lse.shape[2]),
+                            (0, 0)))
 
     q_map = lambda bi, hi, qi, ki, s_: (bi, hi, qi, 0)
     k_map = lambda bi, hi, qi, ki, s_: (bi, hi, ki, 0)
@@ -424,15 +432,17 @@ def _flash_backward(q, k, v, kv_lens, scale, block_q, block_k, interpret,
 # custom_vjp plumbing
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _flash_attention(q, k, v, kv_lens, scale, block_q, block_k, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _flash_attention(q, k, v, kv_lens, scale, block_q, block_k,
+                     bwd_block_q, bwd_block_k, interpret):
     out, _lse = _flash_forward(
         q, k, v, kv_lens, scale, block_q, block_k, interpret, save_lse=False
     )
     return out
 
 
-def _flash_fwd_vjp(q, k, v, kv_lens, scale, block_q, block_k, interpret):
+def _flash_fwd_vjp(q, k, v, kv_lens, scale, block_q, block_k,
+                   bwd_block_q, bwd_block_k, interpret):
     # the lse output adds (bq, 128) fp32 VMEM per buffer: clamp the very
     # large inference-only q blocks on the grad path (perf-neutral there,
     # the backward kernels dominate)
@@ -447,12 +457,14 @@ def _flash_fwd_vjp(q, k, v, kv_lens, scale, block_q, block_k, interpret):
     return out, (q, k, v, kv_lens, out, lse)
 
 
-def _flash_bwd_vjp(scale, block_q, block_k, interpret, residuals, g):
+def _flash_bwd_vjp(scale, block_q, block_k, bwd_block_q, bwd_block_k,
+                   interpret, residuals, g):
     q, k, v, kv_lens, out, lse = residuals
     # backward kernels stream 5 q-sized operands + lse per invocation:
-    # fixed moderate blocks regardless of the forward's choice
-    block_q = min(block_q, 512)
-    block_k = min(block_k, 256)
+    # fixed moderate blocks regardless of the forward's choice, unless
+    # explicitly overridden (sweep/tuning knob)
+    block_q = bwd_block_q or min(block_q, 512)
+    block_k = bwd_block_k or min(block_k, 256)
     # FA2: D = rowsum(dO*O) computed ONCE over the unpadded arrays (one
     # bandwidth-bound pass) instead of per (q, k) tile inside both
     # kernels — drops O from the kernel input streams entirely
@@ -508,6 +520,8 @@ def flash_attention(
     scale: float | None = None,
     block_q: int | None = None,
     block_k: int | None = None,
+    bwd_block_q: int | None = None,
+    bwd_block_k: int | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Flash attention. q (B,H,Lq,D); k,v (B,H,Lk,D).
@@ -518,7 +532,8 @@ def flash_attention(
     Unaligned shapes are padded and tail-masked by the wrapper; a small
     ragged q tail is computed by XLA so the kernel's q blocks stay dense.
     Differentiable: the backward runs fused Pallas kernels with O(L) memory
-    (its blocks are clamped to (512, 256) independent of the forward's).
+    (its blocks are clamped to (512, 256) independent of the forward's;
+    `bwd_block_q`/`bwd_block_k` override that clamp for tuning sweeps).
 
     Default blocks adapt to shape (on-chip sweeps at 7B serving shapes,
     v5e): a single TPU core serializes the grid, so when the (b*h) grid
@@ -589,10 +604,11 @@ def flash_attention(
     if 0 < tail <= _TAIL_SPLIT_MAX and main >= block_q:
         out_main = _flash_attention(
             q[:, :, :main], k, v, kv_lens, scale, block_q, block_k,
-            interpret,
+            bwd_block_q, bwd_block_k, interpret,
         )
         out_tail = _tail_attention(q[:, :, main:], k, v, kv_lens, scale)
         return jnp.concatenate([out_main, out_tail], axis=2)
     return _flash_attention(
-        q, k, v, kv_lens, scale, block_q, block_k, interpret
+        q, k, v, kv_lens, scale, block_q, block_k, bwd_block_q,
+        bwd_block_k, interpret
     )

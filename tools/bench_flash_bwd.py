@@ -23,6 +23,10 @@ def main():
     ap.add_argument("--seq", type=int, default=4112)
     ap.add_argument("--head_dim", type=int, default=256)
     ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--bwd_bq", type=int, default=None,
+                    help="override backward block_q (default: clamp 512)")
+    ap.add_argument("--bwd_bk", type=int, default=None,
+                    help="override backward block_k (default: clamp 256)")
     args = ap.parse_args()
 
     import jax
@@ -38,7 +42,8 @@ def main():
     v = jax.random.normal(kv, (b, h, l, d), jnp.bfloat16)
 
     def loss(q, k, v):
-        o = flash_attention(q, k, v)
+        o = flash_attention(q, k, v, bwd_block_q=args.bwd_bq,
+                            bwd_block_k=args.bwd_bk)
         return jnp.sum(o.astype(jnp.float32) ** 2)
 
     grad = jax.grad(loss, argnums=(0, 1, 2))
