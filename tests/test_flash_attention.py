@@ -142,6 +142,30 @@ class TestFlashBackward:
                 np.asarray(a), np.asarray(b_), atol=1e-3, rtol=1e-3
             )
 
+    def test_grads_bwd_block_override(self):
+        # bwd_block_q=1024 pads q to 2048 while the forward's lse was
+        # padded at bq=512 (to 1536): exercises the lse row re-pad in
+        # _flash_backward, with a kv prefix mask
+        b, h, l, d = 1, 2, 1536, 64
+        q, k, v = _qkv(b, h, l, l, d, seed=21)
+        lens = jnp.array([1200], jnp.int32)
+        mask = jnp.arange(l)[None, :] < lens[:, None]
+
+        def loss_pallas(q, k, v):
+            return jnp.sum(fa(q, k, v, kv_lens=lens, block_q=512,
+                              block_k=256, bwd_block_q=1024,
+                              bwd_block_k=512) ** 2)
+
+        def loss_xla(q, k, v):
+            return jnp.sum(attention_xla(q, k, v, kv_mask=mask) ** 2)
+
+        g1 = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=1e-3, rtol=1e-3
+            )
+
     def test_grads_bf16(self):
         b, h, l, d = 1, 2, 256, 128
         q, k, v = _qkv(b, h, l, l, d, dtype=jnp.bfloat16, seed=9)
