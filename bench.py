@@ -72,11 +72,42 @@ def bench_text_encode(batch: int, text_len: int = 128) -> float | None:
     return sorted(times)[len(times) // 2]
 
 
+def _device_watchdog(timeout_s: float) -> None:
+    """Fail fast (instead of hanging forever) if the TPU backend is dead.
+
+    jax.devices() on the remote axon backend blocks in native code when
+    the tunnel is down — uninterruptible from Python. A watchdog thread
+    hard-exits after `timeout_s` so the caller (the round driver) gets a
+    nonzero exit and a message, not a silent multi-hour hang."""
+    import threading
+
+    done = threading.Event()
+
+    def watch():
+        if not done.wait(timeout_s):
+            import sys
+
+            print(
+                f"bench: jax.devices() did not return within {timeout_s:.0f}s"
+                " — TPU backend unreachable (tunnel down?)",
+                file=sys.stderr, flush=True,
+            )
+            os._exit(17)
+
+    threading.Thread(target=watch, daemon=True).start()
+    import jax
+
+    jax.devices()
+    done.set()
+
+
 def main():
     import jax
     import jax.numpy as jnp
     import numpy as np
 
+    _device_watchdog(float(os.environ.get("F_LITE_BENCH_DEVICE_TIMEOUT",
+                                          "600")))
     from f_lite_tpu.models.dit import DiT, DiTConfig
     from f_lite_tpu.models.vae import AutoencoderKL, VAEConfig
     from f_lite_tpu.utils.env import enable_compilation_cache
