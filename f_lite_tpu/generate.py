@@ -47,6 +47,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="LoRA checkpoint (dir or .safetensors) merged "
                         "into the DiT at load (`pt.py:108-136`)")
     p.add_argument("--lora_scale", type=float, default=1.0)
+    p.add_argument("--image", type=str, default=None,
+                   help="input image for image-to-image (resized to "
+                        "--width x --height, VAE-encoded, partially "
+                        "noised per --strength)")
+    p.add_argument("--strength", type=float, default=0.8,
+                   help="img2img noising strength in (0, 1]: 1.0 = full "
+                        "text-to-image, small values stay close to the "
+                        "input image")
     return p
 
 
@@ -80,6 +88,12 @@ def generate_images(args) -> list[Path]:
         if args.apg else None
     )
 
+    init_image = None
+    if args.image:
+        from PIL import Image
+
+        init_image = Image.open(args.image)
+
     t0 = time.perf_counter()
     out = pipe(
         prompt=args.prompt,
@@ -91,6 +105,8 @@ def generate_images(args) -> list[Path]:
         num_images_per_prompt=args.num_images,
         seed=args.seed,
         apg_config=apg,
+        image=init_image,
+        strength=args.strength,
     )
     dt = time.perf_counter() - t0
 

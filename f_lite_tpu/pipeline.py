@@ -42,12 +42,14 @@ from f_lite_tpu.models.vae import (
     decode_sliced,
     decode_tiled,
     denormalize_latents,
+    normalize_latents,
 )
 from f_lite_tpu.ops.guidance import APGConfig
 from f_lite_tpu.sampling.euler import (
     DenoiseSettings,
     auto_steps_per_dispatch,
     make_denoise_fn,
+    schedule_start_time,
 )
 from f_lite_tpu.utils.image import to_pil_images
 
@@ -57,6 +59,48 @@ class FLitePipelineOutput:
     """Output of FLitePipeline (`pipeline.py:34-43`)."""
 
     images: list
+
+
+def _preprocess_image(image, height: int, width: int, batch: int):
+    """PIL image / (H, W, 3) array / list of either -> (B, H, W, 3) fp32
+    in [-1, 1] (the VAE's training range), resized to (height, width).
+
+    Float arrays are taken as [0, 1] (matplotlib/skimage convention);
+    uint8 as [0, 255]. A single image broadcasts over the batch."""
+    if isinstance(image, (list, tuple)):
+        arrs = [_preprocess_image(i, height, width, 1)[0] for i in image]
+        x = np.stack(arrs)
+    else:
+        try:
+            from PIL import Image as PILImage
+
+            is_pil = isinstance(image, PILImage.Image)
+        except ImportError:  # pragma: no cover
+            is_pil = False
+        if is_pil:
+            image = image.convert("RGB")
+            if image.size != (width, height):
+                image = image.resize((width, height), 2)  # bilinear
+            x = np.asarray(image, np.float32)[None] / 255.0
+        else:
+            x = np.asarray(image)
+            if x.ndim == 3:
+                x = x[None]
+            if x.shape[1] != height or x.shape[2] != width:
+                raise ValueError(
+                    f"array image {x.shape[1:3]} != requested "
+                    f"({height}, {width}) — resize it or pass a PIL image"
+                )
+            if x.dtype == np.uint8:
+                x = x.astype(np.float32) / 255.0
+            else:
+                x = x.astype(np.float32)
+        x = x * 2.0 - 1.0
+    if x.shape[0] == 1 and batch > 1:
+        x = np.broadcast_to(x, (batch, *x.shape[1:]))
+    if x.shape[0] != batch:
+        raise ValueError(f"got {x.shape[0]} images for batch {batch}")
+    return np.ascontiguousarray(x, np.float32)
 
 
 def _flatten_params(tree, prefix=""):
@@ -406,6 +450,8 @@ class FLitePipeline:
         return_latents: bool = False,
         steps_per_dispatch: int | None = None,
         callback: Any = None,
+        image: Any = None,
+        strength: float = 0.8,
     ):
         """Generate images. Beyond the reference surface
         (`pipeline.py:188-202`):
@@ -417,6 +463,16 @@ class FLitePipeline:
         - `callback(done_steps, total_steps) -> bool`: progress hook run at
           every dispatch boundary; return truthy to cancel mid-trajectory
           (the GUI forever-mode contract, `f_lite_gradio_gui.py:87-109`).
+        - `image` + `strength`: image-to-image (SDEdit). `image` is a PIL
+          image, an (H, W, 3) uint8/float array, or a list of them; it is
+          resized to (height, width), VAE-encoded (posterior mean —
+          deterministic and seed-reproducible), and noised to the
+          schedule's t at step `N - round(strength*N)` — the training
+          interpolant z = (1-t)·x + t·ε — before denoising the remaining
+          steps. strength in (0, 1]: 1.0 ≡ pure text-to-image, small
+          values stay close to the input. The schedule slice is a traced
+          argument: every strength reuses the cached compilation (when
+          dispatch chunking is active, the default).
         """
         apg = apg_config if (apg_config and apg_config.enabled) else None
 
@@ -448,23 +504,44 @@ class FLitePipeline:
         lh, lw = height // self.vae_scale_factor, width // self.vae_scale_factor
         dtype = self.dit_model.config.dtype
 
-        if latents is None:
-            rng = (
-                seed
-                if isinstance(seed, jax.Array)
-                else jax.random.key(0 if seed is None else seed)
-            )
-            latents = jax.random.normal(
-                rng, (batch, lh, lw, self.dit_model.config.in_channels),
-                dtype,
-            )
-
         settings = DenoiseSettings(
             num_inference_steps=num_inference_steps,
             guidance_scale=guidance_scale,
             apg=apg,
             alpha=alpha,
         )
+        rng = (
+            seed
+            if isinstance(seed, jax.Array)
+            else jax.random.key(0 if seed is None else seed)
+        )
+        lat_shape = (batch, lh, lw, self.dit_model.config.in_channels)
+        start_step = 0
+        if image is not None:
+            if latents is not None:
+                raise ValueError("pass image or latents, not both")
+            if self.vae is None:
+                raise ValueError("image-to-image requires a VAE")
+            if not 0.0 < strength <= 1.0:
+                raise ValueError(f"strength must be in (0, 1], got {strength}")
+            n = num_inference_steps
+            start_step = n - max(1, min(n, int(round(strength * n))))
+            x = _preprocess_image(image, height, width, batch)
+            enc = self.vae.apply(
+                self.vae_params, jnp.asarray(x), method=AutoencoderKL.encode
+            )
+            lat = normalize_latents(
+                enc.astype(jnp.float32), self.vae.config
+            )
+            if lat.shape != lat_shape:
+                raise ValueError(
+                    f"encoded image latents {lat.shape} != {lat_shape}"
+                )
+            t0 = schedule_start_time(settings, lh, lw, start_step)
+            noise = jax.random.normal(rng, lat_shape, jnp.float32)
+            latents = ((1.0 - t0) * lat + t0 * noise).astype(dtype)
+        elif latents is None:
+            latents = jax.random.normal(rng, lat_shape, dtype)
         if steps_per_dispatch is None:
             steps_per_dispatch = auto_steps_per_dispatch(
                 batch, num_inference_steps, lh * lw
@@ -496,6 +573,7 @@ class FLitePipeline:
                 else None
             ),
             callback=callback,
+            start_step=start_step,
         )
 
         if return_latents or self.vae is None:

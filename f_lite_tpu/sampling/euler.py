@@ -110,6 +110,23 @@ def denoise(
     return z.astype(latents.dtype)
 
 
+def schedule_start_time(
+    settings: DenoiseSettings, lh: int, lw: int, start_step: int
+) -> float:
+    """t at schedule index `start_step` for an (lh, lw) latent grid.
+
+    The image-to-image noising level: z = (1 - t)·x + t·ε is the training
+    interpolant (train/loss.py), so partially noising a clean latent to
+    the schedule's own t at `start_step` puts it exactly on the marginal
+    the model saw in training. start_step == 0 gives t == 1 (pure noise):
+    shift_t(1, α) == 1 mathematically for every α, but the fp32 α/(1+(α-1))
+    rounds off 1.0 for non-pow2 α — return the exact value so strength=1.0
+    image-to-image is EXACTLY text-to-image."""
+    if start_step == 0:
+        return 1.0
+    return float(_full_schedule(settings, lh, lw)[start_step, 0])
+
+
 def auto_steps_per_dispatch(
     batch: int, steps: int, latent_tokens: int = 16384
 ) -> int | None:
@@ -155,6 +172,11 @@ def make_denoise_fn(
     truthy to cancel — the current latents are returned early. This is the
     cooperative-cancellation hook the reference GUI uses for forever-mode
     (`f_lite_gradio_gui.py:87-109`).
+
+    `start_step`: begin the trajectory at this schedule index (image-to-
+    image: the caller noises its latents to `schedule_start_time(...,
+    start_step)` first). The schedule slice is a traced argument, so with
+    chunking every strength reuses ONE compilation.
     """
     runner = jax.jit(
         lambda params, z, pos, neg, mask, nmask, schedule: (
@@ -167,10 +189,17 @@ def make_denoise_fn(
     )
 
     def fn(params, latents, prompt_embeds, negative_embeds, context_mask,
-           neg_mask=None, callback=None):
+           neg_mask=None, callback=None, start_step=0):
         lh, lw = latents.shape[1], latents.shape[2]
         schedule = _full_schedule(settings, lh, lw)
         n = settings.num_inference_steps
+        if start_step:
+            if not 0 <= start_step < n:
+                raise ValueError(
+                    f"start_step {start_step} outside [0, {n})"
+                )
+            schedule = schedule[start_step:]
+            n = n - start_step
         k = steps_per_dispatch or n
         # pad to a multiple of k with zero-dt pairs (no-op steps) so every
         # dispatch reuses one compiled shape

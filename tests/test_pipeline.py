@@ -131,6 +131,123 @@ class TestCLI:
             assert p.exists()
             assert Image.open(p).size == (16, 16)
 
+    def test_generate_cli_img2img(self, pipe, tmp_path):
+        from f_lite_tpu.generate import main
+
+        model_dir = tmp_path / "model"
+        pipe.save_pretrained(model_dir)
+        src = tmp_path / "src.png"
+        Image.fromarray(np.full((16, 16, 3), 90, np.uint8)).save(src)
+        paths = main([
+            "--prompt", "restyle", "--model", str(model_dir),
+            "--width", "16", "--height", "16",
+            "--num_inference_steps", "2", "--no_text_encoder",
+            "--image", str(src), "--strength", "0.5",
+            "--output_file", str(tmp_path / "out.png"),
+        ])
+        assert paths and paths[0].exists()
+
+
+class TestImg2Img:
+    def _input(self, h=16, w=16, value=128):
+        return Image.fromarray(np.full((h, w, 3), value, np.uint8))
+
+    def test_runs_and_shapes(self, pipe):
+        out = pipe(prompt="a cat", height=16, width=16,
+                   num_inference_steps=4, seed=3,
+                   image=self._input(), strength=0.5, output_type="np")
+        assert len(out.images) == 1
+        assert np.isfinite(np.asarray(out.images[0])).all()
+
+    def test_deterministic(self, pipe):
+        kw = dict(prompt="x", height=16, width=16, num_inference_steps=4,
+                  seed=5, image=self._input(), strength=0.5,
+                  output_type="np")
+        a = pipe(**kw).images
+        b = pipe(**kw).images
+        np.testing.assert_array_equal(a, b)
+
+    def test_strength_one_is_exactly_t2i(self, pipe):
+        # t0 == 1.0 exactly: the encoded image is multiplied away and the
+        # start latents equal the fp32 noise draw for this seed
+        kw = dict(prompt="x", height=16, width=16, num_inference_steps=3,
+                  seed=9, output_type="np")
+        a = pipe(**kw, image=self._input(), strength=1.0).images
+        noise = jax.random.normal(jax.random.key(9), (1, 8, 8, 4),
+                                  jnp.float32)
+        b = pipe(**kw,
+                 latents=noise.astype(pipe.dit_model.config.dtype)).images
+        np.testing.assert_array_equal(a, b)
+
+    def test_low_strength_stays_closer_to_input(self, pipe):
+        from f_lite_tpu.models.vae import normalize_latents
+
+        img = self._input(value=200)
+        x = (np.asarray(img.convert("RGB"), np.float32) / 255.0) * 2 - 1
+        enc = pipe.vae.apply(pipe.vae_params, jnp.asarray(x)[None],
+                             method=type(pipe.vae).encode)
+        ref = np.asarray(normalize_latents(enc.astype(jnp.float32),
+                                           pipe.vae.config))
+
+        def final_latents(strength):
+            out = pipe(prompt="x", height=16, width=16,
+                       num_inference_steps=8, seed=2, image=img,
+                       strength=strength, return_latents=True)
+            return np.asarray(out.images, np.float32)
+
+        d_low = np.abs(final_latents(0.25) - ref).mean()
+        d_high = np.abs(final_latents(1.0) - ref).mean()
+        assert d_low < d_high, (d_low, d_high)
+
+    def test_batch_broadcast_and_list(self, pipe):
+        out = pipe(prompt=["a", "b"], height=16, width=16,
+                   num_inference_steps=2, seed=1, image=self._input(),
+                   strength=0.5)
+        assert len(out.images) == 2
+        out = pipe(prompt=["a", "b"], height=16, width=16,
+                   num_inference_steps=2, seed=1,
+                   image=[self._input(), self._input(value=30)],
+                   strength=0.5)
+        assert len(out.images) == 2
+
+    def test_array_inputs(self, pipe):
+        u8 = np.full((16, 16, 3), 60, np.uint8)
+        f32 = np.full((16, 16, 3), 60 / 255.0, np.float32)
+        kw = dict(prompt="x", height=16, width=16, num_inference_steps=2,
+                  seed=4, strength=0.5, output_type="np")
+        a = pipe(**kw, image=u8).images
+        b = pipe(**kw, image=f32).images
+        np.testing.assert_array_equal(a, b)
+
+    def test_errors(self, pipe):
+        img = self._input()
+        with pytest.raises(ValueError, match="strength"):
+            pipe(prompt="x", height=16, width=16, num_inference_steps=2,
+                 image=img, strength=0.0)
+        with pytest.raises(ValueError, match="not both"):
+            pipe(prompt="x", height=16, width=16, num_inference_steps=2,
+                 image=img, latents=jnp.zeros((1, 8, 8, 4)))
+        with pytest.raises(ValueError, match="got 3 images"):
+            pipe(prompt="x", height=16, width=16, num_inference_steps=2,
+                 image=[img, img, img])
+
+    def test_resize_from_other_size(self, pipe):
+        out = pipe(prompt="x", height=16, width=24,
+                   num_inference_steps=2, seed=0,
+                   image=self._input(h=40, w=30), strength=0.6)
+        assert out.images[0].size == (24, 16)
+
+    def test_start_step_chunking_consistent(self, pipe):
+        # the same start_step through chunked dispatches == single dispatch
+        kw = dict(prompt="x", height=16, width=16, num_inference_steps=6,
+                  seed=8, image=self._input(), strength=0.5,
+                  output_type="np")
+        a = pipe(**kw, steps_per_dispatch=0).images     # single dispatch
+        b = pipe(**kw, steps_per_dispatch=2).images     # 3-step slice, k=2
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   atol=1e-5, rtol=1e-5)
+
 
 class TestAutoTiledDecode:
     def test_large_latents_auto_tile(self, pipe):
