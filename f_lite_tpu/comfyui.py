@@ -63,12 +63,38 @@ class FLiteNode:
                                  "max": 2**31 - 1}),
                 "use_apg": ("BOOLEAN", {"default": False}),
                 "vae_tiling": ("BOOLEAN", {"default": False}),
-            }
+            },
+            "optional": {
+                # image-to-image (beyond the reference node): plug any
+                # IMAGE output in and set strength < 1.0
+                "image": ("IMAGE",),
+                "strength": ("FLOAT", {"default": 0.8, "min": 0.05,
+                                       "max": 1.0, "step": 0.05}),
+            },
         }
 
     def generate(self, model, prompt, negative_prompt, width, height,
-                 steps, guidance_scale, seed, use_apg, vae_tiling):
+                 steps, guidance_scale, seed, use_apg, vae_tiling,
+                 image=None, strength=0.8):
         from f_lite_tpu.ops.guidance import APGConfig
+
+        init_images = None
+        if image is not None:
+            # ComfyUI IMAGE: (B, H, W, 3) float in [0, 1] (torch or np).
+            # Hand the pipeline PIL images so it resizes to (width, height)
+            from PIL import Image as PILImage
+
+            arr = np.asarray(image, np.float32)
+            if arr.ndim == 3:
+                arr = arr[None]
+            init_images = [
+                PILImage.fromarray(
+                    np.clip(a * 255.0, 0, 255).astype(np.uint8)
+                )
+                for a in arr
+            ]
+            if len(init_images) == 1:
+                init_images = init_images[0]
 
         pipe = _get_pipeline(model, vae_tiling)
         out = pipe(
@@ -80,6 +106,8 @@ class FLiteNode:
             seed=seed,
             apg_config=APGConfig(enabled=True) if use_apg else None,
             output_type="np",
+            image=init_images,
+            strength=strength,
         )
         # ComfyUI IMAGE: torch float tensor (B, H, W, 3) in [0, 1]
         imgs = np.clip(np.asarray(out.images) / 2.0 + 0.5, 0.0, 1.0)

@@ -156,7 +156,7 @@ def build_app(model_path: str, output_dir: str = "outputs",
 
     def generate(prompt, negative, prefix, suffix, preset, steps, guidance,
                  use_apg, apg_threshold, seed, lock_seed, forever,
-                 use_superprompt):
+                 use_superprompt, init_image=None, strength=0.8):
         controller.reset()
         pipe = get_pipeline(model_path)
         width, height = PRESET_RESOLUTIONS[preset]
@@ -180,6 +180,8 @@ def build_app(model_path: str, output_dir: str = "outputs",
                 # Stop lands mid-trajectory at the next dispatch boundary
                 # (the reference GUI's step-callback cancel, `:87-109`)
                 callback=lambda done, total: controller.should_stop,
+                image=init_image,
+                strength=float(strength),
             )
             img = out.images[0]
             path = dated_output_path(output_dir)
@@ -214,6 +216,13 @@ def build_app(model_path: str, output_dir: str = "outputs",
                 use_superprompt = gr.Checkbox(
                     label="SuperPrompt enhance", value=False
                 )
+                with gr.Accordion("Image to image", open=False):
+                    init_image = gr.Image(
+                        label="Input image (optional)", type="pil",
+                    )
+                    strength = gr.Slider(
+                        0.05, 1.0, 0.8, step=0.05, label="Strength",
+                    )
                 go = gr.Button("Generate", variant="primary")
                 stop = gr.Button("Stop")
             with gr.Column():
@@ -224,7 +233,7 @@ def build_app(model_path: str, output_dir: str = "outputs",
             generate,
             [prompt, negative, prefix, suffix, preset, steps, guidance,
              use_apg, apg_threshold, seed, lock_seed, forever,
-             use_superprompt],
+             use_superprompt, init_image, strength],
             [gallery, last_path, used_seed],
         )
         stop.click(lambda: controller.request_stop(), [], [])

@@ -122,3 +122,13 @@ class TestComfyNode:
         arr = np.asarray(img)
         assert arr.shape == (1, 32, 32, 3)
         assert arr.min() >= 0.0 and arr.max() <= 1.0
+
+        # img2img: feed the node's own output back as the IMAGE input
+        # (ComfyUI (B, H, W, 3) float [0, 1] contract incl. resize)
+        (img2,) = node.generate(
+            "fake", "a dog", "", 16, 16, 2, 6.0, 1, False, False,
+            image=arr, strength=0.5,
+        )
+        arr2 = np.asarray(img2)
+        assert arr2.shape == (1, 16, 16, 3)
+        assert arr2.min() >= 0.0 and arr2.max() <= 1.0
