@@ -55,6 +55,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="img2img noising strength in (0, 1]: 1.0 = full "
                         "text-to-image, small values stay close to the "
                         "input image")
+    p.add_argument("--mask", type=str, default=None,
+                   help="inpainting mask (requires --image): white = "
+                        "repaint, black = keep; resized to the latent "
+                        "grid. Use --strength 1.0 to fully regenerate "
+                        "the masked region")
     return p
 
 
@@ -88,11 +93,15 @@ def generate_images(args) -> list[Path]:
         if args.apg else None
     )
 
-    init_image = None
+    init_image = mask_image = None
     if args.image:
         from PIL import Image
 
         init_image = Image.open(args.image)
+        if args.mask:
+            mask_image = Image.open(args.mask)
+    elif args.mask:
+        raise SystemExit("--mask requires --image")
 
     t0 = time.perf_counter()
     out = pipe(
@@ -107,6 +116,7 @@ def generate_images(args) -> list[Path]:
         apg_config=apg,
         image=init_image,
         strength=args.strength,
+        mask_image=mask_image,
     )
     dt = time.perf_counter() - t0
 

@@ -103,6 +103,38 @@ def _preprocess_image(image, height: int, width: int, batch: int):
     return np.ascontiguousarray(x, np.float32)
 
 
+def _preprocess_mask(mask, lh: int, lw: int, batch: int):
+    """Inpaint mask -> (B, lh, lw, 1) fp32 in [0, 1] at LATENT resolution.
+
+    White (1) = repaint, black (0) = keep (diffusers convention). Accepts
+    a PIL image, an (H, W[, 1]) uint8/float array, or a list of either;
+    soft (gray) values blend. Resized with bilinear to the latent grid."""
+    from PIL import Image as PILImage
+
+    if isinstance(mask, (list, tuple)):
+        arrs = [_preprocess_mask(i, lh, lw, 1)[0] for i in mask]
+        x = np.stack(arrs)
+    else:
+        if not isinstance(mask, PILImage.Image):
+            a = np.asarray(mask)
+            if a.ndim == 3:
+                a = a[..., 0]
+            if a.dtype != np.uint8:
+                a = np.clip(a.astype(np.float32) * 255.0, 0, 255
+                            ).astype(np.uint8)
+            mask = PILImage.fromarray(a, "L")
+        else:
+            mask = mask.convert("L")
+        if mask.size != (lw, lh):
+            mask = mask.resize((lw, lh), 2)  # bilinear
+        x = np.asarray(mask, np.float32)[None, :, :, None] / 255.0
+    if x.shape[0] == 1 and batch > 1:
+        x = np.broadcast_to(x, (batch, *x.shape[1:]))
+    if x.shape[0] != batch:
+        raise ValueError(f"got {x.shape[0]} masks for batch {batch}")
+    return np.ascontiguousarray(x, np.float32)
+
+
 def _flatten_params(tree, prefix=""):
     out = {}
     for k, v in tree.items():
@@ -452,6 +484,7 @@ class FLitePipeline:
         callback: Any = None,
         image: Any = None,
         strength: float = 0.8,
+        mask_image: Any = None,
     ):
         """Generate images. Beyond the reference surface
         (`pipeline.py:188-202`):
@@ -473,6 +506,13 @@ class FLitePipeline:
           values stay close to the input. The schedule slice is a traced
           argument: every strength reuses the cached compilation (when
           dispatch chunking is active, the default).
+        - `mask_image` (with `image`): latent inpainting. White = repaint,
+          black = keep (soft values blend); after every Euler step the kept
+          region is re-imposed at that step's marginal (fresh noise per
+          step), so the final step pins it to the input's latents exactly.
+          Use strength=1.0 to fully regenerate the masked region. Kept
+          pixels still pass through the VAE encode/decode round trip
+          (standard latent-inpainting behavior).
         """
         apg = apg_config if (apg_config and apg_config.enabled) else None
 
@@ -517,6 +557,9 @@ class FLitePipeline:
         )
         lat_shape = (batch, lh, lw, self.dit_model.config.in_channels)
         start_step = 0
+        inpaint_args = None
+        if mask_image is not None and image is None:
+            raise ValueError("mask_image requires image")
         if image is not None:
             if latents is not None:
                 raise ValueError("pass image or latents, not both")
@@ -540,6 +583,10 @@ class FLitePipeline:
             t0 = schedule_start_time(settings, lh, lw, start_step)
             noise = jax.random.normal(rng, lat_shape, jnp.float32)
             latents = ((1.0 - t0) * lat + t0 * noise).astype(dtype)
+            if mask_image is not None:
+                m = _preprocess_mask(mask_image, lh, lw, batch)
+                inpaint_args = (lat, jnp.asarray(m),
+                                jax.random.fold_in(rng, 1))
         elif latents is None:
             latents = jax.random.normal(rng, lat_shape, dtype)
         if steps_per_dispatch is None:
@@ -574,6 +621,7 @@ class FLitePipeline:
             ),
             callback=callback,
             start_step=start_step,
+            inpaint=inpaint_args,
         )
 
         if return_latents or self.vae is None:

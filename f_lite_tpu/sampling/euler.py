@@ -49,11 +49,18 @@ def _full_schedule(settings: DenoiseSettings, lh: int, lw: int):
 def _denoise_schedule(
     dit_apply, params, latents, prompt_embeds, negative_embeds,
     context_mask, negative_mask, schedule, settings: DenoiseSettings,
+    inpaint=None,
 ):
     """Core scan over an explicit (t, t_next) schedule slice.
 
     latents are fp32 (integration accumulator); context mask batched
     [neg_mask, pos_mask] under CFG (`pipeline.py:266` context order).
+
+    `inpaint`: optional (x_lat, repaint_mask, keys) — after every Euler
+    update the kept region (repaint_mask == 0) is re-imposed at the
+    step's own marginal: z <- m·z + (1-m)·((1-t_next)·x + t_next·ε),
+    fresh ε per step (one key per schedule row). The final step has
+    t_next == 0, so the kept region lands on x exactly.
     """
     b = latents.shape[0]
     do_cfg = settings.guidance_scale >= 1.0
@@ -80,7 +87,25 @@ def _denoise_schedule(
             v = dit_apply(params, z, context, context_mask, t_in)
         return z + dt * v.astype(jnp.float32), None
 
-    z_final, _ = jax.lax.scan(step, latents.astype(jnp.float32), schedule)
+    z0 = latents.astype(jnp.float32)
+    if inpaint is None:
+        z_final, _ = jax.lax.scan(step, z0, schedule)
+        return z_final
+
+    x_lat, m, keys = inpaint  # (B,h,w,C) fp32, (B,h,w,1) fp32, (N,) keys
+
+    def step_inpaint(z, xs):
+        t_pair, k = xs
+        z_new, _ = step(z, t_pair)
+        t_next = t_pair[1].astype(jnp.float32)
+        eps = jax.random.normal(k, x_lat.shape, jnp.float32)
+        known = (1.0 - t_next) * x_lat + t_next * eps
+        mixed = m * z_new + (1.0 - m) * known
+        # zero-dt pad rows (t == t_next) must be FULL no-ops: re-mixing
+        # is not idempotent for soft mask values (m^2 != m)
+        return jnp.where(t_pair[0] > t_pair[1], mixed, z), None
+
+    z_final, _ = jax.lax.scan(step_inpaint, z0, (schedule, keys))
     return z_final
 
 
@@ -177,19 +202,24 @@ def make_denoise_fn(
     image: the caller noises its latents to `schedule_start_time(...,
     start_step)` first). The schedule slice is a traced argument, so with
     chunking every strength reuses ONE compilation.
+
+    `inpaint`: optional (x_lat, repaint_mask, base_key) — latent
+    inpainting; see `_denoise_schedule`. Adds one compiled variant (the
+    extra traced inputs change the program).
     """
     runner = jax.jit(
-        lambda params, z, pos, neg, mask, nmask, schedule: (
+        lambda params, z, pos, neg, mask, nmask, schedule, x_lat, m, keys: (
             _denoise_schedule(
                 dit_apply, params, z, pos, neg, mask, nmask, schedule,
                 settings,
+                inpaint=None if x_lat is None else (x_lat, m, keys),
             )
         ),
         donate_argnums=(1,),
     )
 
     def fn(params, latents, prompt_embeds, negative_embeds, context_mask,
-           neg_mask=None, callback=None, start_step=0):
+           neg_mask=None, callback=None, start_step=0, inpaint=None):
         lh, lw = latents.shape[1], latents.shape[2]
         schedule = _full_schedule(settings, lh, lw)
         n = settings.num_inference_steps
@@ -211,6 +241,19 @@ def make_denoise_fn(
                  jnp.broadcast_to(jnp.stack([last_t, last_t]), (pad, 2))],
                 axis=0,
             )
+        x_lat = m = keys = None
+        if inpaint is not None:
+            # one fresh-noise key per REAL schedule row; pad rows repeat
+            # the last key (their t_next == 0 zeroes the eps term, and
+            # splitting only the real n keeps chunked == single dispatch)
+            x_lat, m, base_key = inpaint
+            x_lat = jnp.asarray(x_lat, jnp.float32)
+            m = jnp.asarray(m, jnp.float32)
+            keys = jax.random.split(base_key, n)
+            if pad:
+                keys = jnp.concatenate(
+                    [keys, jnp.broadcast_to(keys[-1], (pad,))]
+                )
         out_dtype = latents.dtype
         if donate and steps_per_dispatch is None and pad == 0:
             z = latents.astype(jnp.float32)  # single dispatch: safe to alias
@@ -219,7 +262,9 @@ def make_denoise_fn(
             z = jnp.array(latents, jnp.float32, copy=True)
         for s in range(0, n + pad, k):
             z = runner(params, z, prompt_embeds, negative_embeds,
-                       context_mask, neg_mask, schedule[s : s + k])
+                       context_mask, neg_mask, schedule[s : s + k],
+                       x_lat, m, keys[s : s + k] if keys is not None
+                       else None)
             if callback is not None and callback(min(s + k, n), n):
                 break
         return z.astype(out_dtype)

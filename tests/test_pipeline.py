@@ -249,6 +249,62 @@ class TestImg2Img:
                                    atol=1e-5, rtol=1e-5)
 
 
+class TestInpainting:
+    def _img(self, value=128):
+        return Image.fromarray(np.full((16, 16, 3), value, np.uint8))
+
+    def _mask_left_half(self, size=16):
+        # white (repaint) on the left half, black (keep) on the right.
+        # size=8 builds it at LATENT resolution: no resize, so the edge
+        # stays binary (bilinear downsample bleeds a hard edge)
+        m = np.zeros((size, size), np.uint8)
+        m[:, : size // 2] = 255
+        return Image.fromarray(m, "L")
+
+    def test_kept_region_pins_input_latents_exactly(self, pipe):
+        from f_lite_tpu.models.vae import normalize_latents
+
+        img = self._img(value=180)
+        out = pipe(prompt="x", height=16, width=16, num_inference_steps=4,
+                   seed=6, image=img, strength=1.0,
+                   mask_image=self._mask_left_half(size=8),
+                   return_latents=True)
+        final = np.asarray(out.images, np.float32)
+
+        x = (np.asarray(img.convert("RGB"), np.float32) / 255.0) * 2 - 1
+        enc = pipe.vae.apply(pipe.vae_params, jnp.asarray(x)[None],
+                             method=type(pipe.vae).encode)
+        ref = np.asarray(normalize_latents(enc.astype(jnp.float32),
+                                           pipe.vae.config), np.float32)
+        # latent grid 8x8: mask left half -> repaint cols 0..3, keep 4..7
+        np.testing.assert_array_equal(final[:, :, 4:, :], ref[:, :, 4:, :])
+        assert not np.allclose(final[:, :, :4, :], ref[:, :, :4, :])
+
+    def test_deterministic_and_chunking_consistent(self, pipe):
+        kw = dict(prompt="x", height=16, width=16, num_inference_steps=6,
+                  seed=11, image=self._img(), strength=1.0,
+                  mask_image=self._mask_left_half(), output_type="np")
+        a = pipe(**kw, steps_per_dispatch=0).images   # single dispatch
+        b = pipe(**kw, steps_per_dispatch=0).images
+        np.testing.assert_array_equal(a, b)
+        c = pipe(**kw, steps_per_dispatch=4).images   # 6 steps, pad to 8
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(c, np.float32),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_soft_and_array_masks(self, pipe):
+        m = np.full((16, 16), 0.5, np.float32)  # uniform soft blend
+        out = pipe(prompt="x", height=16, width=16, num_inference_steps=2,
+                   seed=1, image=self._img(), strength=0.7, mask_image=m,
+                   output_type="np")
+        assert np.isfinite(np.asarray(out.images)).all()
+
+    def test_mask_without_image_raises(self, pipe):
+        with pytest.raises(ValueError, match="requires image"):
+            pipe(prompt="x", height=16, width=16, num_inference_steps=2,
+                 mask_image=self._mask_left_half())
+
+
 class TestAutoTiledDecode:
     def test_large_latents_auto_tile(self, pipe):
         """>128 latent (>= ~1024px real-model): the default 'auto' decode
