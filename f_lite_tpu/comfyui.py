@@ -97,6 +97,11 @@ class FLiteNode:
                 init_images = init_images[0]
 
         pipe = _get_pipeline(model, vae_tiling)
+        # a batched IMAGE input (B frames) generates one variation per
+        # frame: the single prompt is repeated to match the image batch
+        n_per_prompt = (
+            len(init_images) if isinstance(init_images, list) else 1
+        )
         out = pipe(
             prompt=prompt,
             negative_prompt=negative_prompt or None,
@@ -104,6 +109,7 @@ class FLiteNode:
             num_inference_steps=steps,
             guidance_scale=guidance_scale,
             seed=seed,
+            num_images_per_prompt=n_per_prompt,
             apg_config=APGConfig(enabled=True) if use_apg else None,
             output_type="np",
             image=init_images,

@@ -245,6 +245,88 @@ def decode_sliced(vae: AutoencoderKL, params, z: jax.Array) -> jax.Array:
     )
 
 
+def encode_sliced(vae: AutoencoderKL, params, x: jax.Array) -> jax.Array:
+    """Per-sample deterministic encode (posterior mean)."""
+    return jax.lax.map(
+        lambda xi: vae.apply(params, xi[None], method=AutoencoderKL.encode)[0],
+        x,
+    )
+
+
+def _blend_h(a, bb, n):
+    n = min(n, a.shape[2], bb.shape[2])
+    w = (jnp.arange(n, dtype=a.dtype) + 1) / (n + 1)
+    mixed = a[:, :, -n:, :] * (1 - w[None, None, :, None]) + \
+        bb[:, :, :n, :] * w[None, None, :, None]
+    return jnp.concatenate([a[:, :, :-n, :], mixed, bb[:, :, n:, :]],
+                           axis=2)
+
+
+def _blend_v(a, bb, n):
+    n = min(n, a.shape[1], bb.shape[1])
+    w = (jnp.arange(n, dtype=a.dtype) + 1) / (n + 1)
+    mixed = a[:, -n:, :, :] * (1 - w[None, :, None, None]) + \
+        bb[:, :n, :, :] * w[None, :, None, None]
+    return jnp.concatenate([a[:, :-n, :, :], mixed, bb[:, n:, :, :]],
+                           axis=1)
+
+
+def _merge_tiled(rows, blend):
+    merged_rows = []
+    for row in rows:
+        acc = row[0]
+        for tile in row[1:]:
+            acc = _blend_h(acc, tile, blend)
+        merged_rows.append(acc)
+    out = merged_rows[0]
+    for r in merged_rows[1:]:
+        out = _blend_v(out, r, blend)
+    return out
+
+
+def encode_tiled(
+    vae: AutoencoderKL,
+    params,
+    x: jax.Array,
+    *,
+    tile_latent_size: int = 64,
+    overlap: float = 0.25,
+) -> jax.Array:
+    """Tiled deterministic encode with blended latent seams.
+
+    The encode analog of `decode_tiled` (the encoder's mid-block attention
+    materializes an (hw x hw) logits tensor — ~17 GB fp32 at 2048px — so
+    large image-to-image inputs must be encoded in tiles, like diffusers'
+    `vae.enable_tiling` encode side). Overlapping PIXEL tiles are encoded
+    to the posterior mean and the latent seams are linearly blended."""
+    cfg = vae.config
+    sf = cfg.spatial_scale
+    b, h, w, _ = x.shape
+    lh, lw = h // sf, w // sf
+    t = tile_latent_size
+    if lh <= t and lw <= t:
+        return vae.apply(params, x, method=AutoencoderKL.encode)
+
+    stride = int(t * (1 - overlap))
+    blend = t - stride  # latent overlap between adjacent tiles
+
+    rows = []
+    for i0 in range(0, lh, stride):
+        row = []
+        for j0 in range(0, lw, stride):
+            tile = x[:, i0 * sf : (i0 + t) * sf, j0 * sf : (j0 + t) * sf, :]
+            row.append(
+                vae.apply(params, tile, method=AutoencoderKL.encode)
+            )
+            if j0 + t >= lw:
+                break
+        rows.append(row)
+        if i0 + t >= lh:
+            break
+
+    return _merge_tiled(rows, blend)[:, :lh, :lw, :]
+
+
 def decode_tiled(
     vae: AutoencoderKL,
     params,
@@ -283,29 +365,4 @@ def decode_tiled(
         if i0 + t >= lh:
             break
 
-    def blend_h(a, bb, n):
-        n = min(n, a.shape[2], bb.shape[2])
-        w = (jnp.arange(n, dtype=a.dtype) + 1) / (n + 1)
-        mixed = a[:, :, -n:, :] * (1 - w[None, None, :, None]) + \
-            bb[:, :, :n, :] * w[None, None, :, None]
-        return jnp.concatenate([a[:, :, :-n, :], mixed, bb[:, :, n:, :]],
-                               axis=2)
-
-    def blend_v(a, bb, n):
-        n = min(n, a.shape[1], bb.shape[1])
-        w = (jnp.arange(n, dtype=a.dtype) + 1) / (n + 1)
-        mixed = a[:, -n:, :, :] * (1 - w[None, :, None, None]) + \
-            bb[:, :n, :, :] * w[None, :, None, None]
-        return jnp.concatenate([a[:, :-n, :, :], mixed, bb[:, n:, :, :]],
-                               axis=1)
-
-    merged_rows = []
-    for row in rows:
-        acc = row[0]
-        for tile in row[1:]:
-            acc = blend_h(acc, tile, blend)
-        merged_rows.append(acc)
-    out = merged_rows[0]
-    for r in merged_rows[1:]:
-        out = blend_v(out, r, blend)
-    return out[:, : lh * sf, : lw * sf, :]
+    return _merge_tiled(rows, blend)[:, : lh * sf, : lw * sf, :]

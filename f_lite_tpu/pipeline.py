@@ -61,45 +61,62 @@ class FLitePipelineOutput:
     images: list
 
 
-def _preprocess_image(image, height: int, width: int, batch: int):
-    """PIL image / (H, W, 3) array / list of either -> (B, H, W, 3) fp32
+def _preprocess_image(image, height: int, width: int):
+    """PIL image / (H, W, 3) array / list of either -> (B0, H, W, 3) fp32
     in [-1, 1] (the VAE's training range), resized to (height, width).
 
-    Float arrays are taken as [0, 1] (matplotlib/skimage convention);
-    uint8 as [0, 255]. A single image broadcasts over the batch."""
+    uint8 arrays are [0, 255]; float arrays are auto-detected: any
+    negative value means the array is already in [-1, 1] (e.g. a
+    `output_type="np"` image fed straight back), otherwise [0, 1].
+    Values outside both ranges raise. B0 is NOT broadcast here — the
+    caller encodes once and broadcasts the latents."""
     if isinstance(image, (list, tuple)):
-        arrs = [_preprocess_image(i, height, width, 1)[0] for i in image]
-        x = np.stack(arrs)
-    else:
-        try:
-            from PIL import Image as PILImage
+        arrs = [_preprocess_image(i, height, width)[0] for i in image]
+        return np.ascontiguousarray(np.stack(arrs), np.float32)
+    try:
+        from PIL import Image as PILImage
 
-            is_pil = isinstance(image, PILImage.Image)
-        except ImportError:  # pragma: no cover
-            is_pil = False
-        if is_pil:
-            image = image.convert("RGB")
-            if image.size != (width, height):
-                image = image.resize((width, height), 2)  # bilinear
-            x = np.asarray(image, np.float32)[None] / 255.0
+        is_pil = isinstance(image, PILImage.Image)
+    except ImportError:  # pragma: no cover
+        is_pil = False
+    signed = False
+    if is_pil:
+        image = image.convert("RGB")
+        if image.size != (width, height):
+            image = image.resize((width, height), 2)  # bilinear
+        x = np.asarray(image, np.float32)[None] / 255.0
+    else:
+        x = np.asarray(image)
+        if x.ndim == 3:
+            x = x[None]
+        if x.shape[1] != height or x.shape[2] != width:
+            raise ValueError(
+                f"array image {x.shape[1:3]} != requested "
+                f"({height}, {width}) — resize it or pass a PIL image"
+            )
+        if x.dtype == np.uint8:
+            x = x.astype(np.float32) / 255.0
         else:
-            x = np.asarray(image)
-            if x.ndim == 3:
-                x = x[None]
-            if x.shape[1] != height or x.shape[2] != width:
+            x = x.astype(np.float32)
+            mn, mx = float(x.min()), float(x.max())
+            if mn < 0.0:
+                # already in the VAE's [-1, 1] range (e.g. an
+                # output_type="np" image fed back); decoders overshoot
+                # the nominal range slightly, so clip rather than reject
+                if mn < -2.5 or mx > 2.5:
+                    raise ValueError(
+                        f"float image values in [{mn:.3g}, {mx:.3g}] — "
+                        "expected [0, 1] or [-1, 1]"
+                    )
+                x = np.clip(x, -1.0, 1.0)
+                signed = True
+            elif mx > 1.001:
                 raise ValueError(
-                    f"array image {x.shape[1:3]} != requested "
-                    f"({height}, {width}) — resize it or pass a PIL image"
+                    f"float image values in [0, {mx:.3g}] — expected "
+                    "[0, 1]; pass uint8 (or divide by 255) for [0, 255]"
                 )
-            if x.dtype == np.uint8:
-                x = x.astype(np.float32) / 255.0
-            else:
-                x = x.astype(np.float32)
+    if not signed:
         x = x * 2.0 - 1.0
-    if x.shape[0] == 1 and batch > 1:
-        x = np.broadcast_to(x, (batch, *x.shape[1:]))
-    if x.shape[0] != batch:
-        raise ValueError(f"got {x.shape[0]} images for batch {batch}")
     return np.ascontiguousarray(x, np.float32)
 
 
@@ -212,6 +229,26 @@ class FLitePipeline:
 
     def enable_vae_tiling(self):
         self._decode_mode = "tiled"
+
+    def _encode_image_latents(self, x):
+        """VAE-encode (B, H, W, 3) [-1, 1] pixels to raw posterior means,
+        honoring the memory mode: the encoder's mid-block attention is
+        quadratic in pixels/64 just like the decoder's (a 2048px direct
+        encode OOMs a 16 GB chip), so "auto" tiles past 1024px inputs and
+        explicit modes are respected, mirroring the decode side."""
+        from f_lite_tpu.models.vae import encode_sliced, encode_tiled
+
+        mode = self._decode_mode
+        if mode == "auto":
+            lmax = max(x.shape[1], x.shape[2]) // self.vae_scale_factor
+            mode = "tiled" if lmax > 128 else "direct"
+        if mode == "tiled":
+            return encode_tiled(self.vae, self.vae_params, x)
+        if mode == "sliced":
+            return encode_sliced(self.vae, self.vae_params, x)
+        return self.vae.apply(
+            self.vae_params, x, method=AutoencoderKL.encode
+        )
 
     def set_progress_bar_config(self, **kwargs):
         """API-compat no-op (`pipeline.py:95-97`): the scan-based sampler
@@ -569,24 +606,36 @@ class FLitePipeline:
                 raise ValueError(f"strength must be in (0, 1], got {strength}")
             n = num_inference_steps
             start_step = n - max(1, min(n, int(round(strength * n))))
-            x = _preprocess_image(image, height, width, batch)
-            enc = self.vae.apply(
-                self.vae_params, jnp.asarray(x), method=AutoencoderKL.encode
-            )
-            lat = normalize_latents(
-                enc.astype(jnp.float32), self.vae.config
-            )
-            if lat.shape != lat_shape:
-                raise ValueError(
-                    f"encoded image latents {lat.shape} != {lat_shape}"
-                )
             t0 = schedule_start_time(settings, lh, lw, start_step)
-            noise = jax.random.normal(rng, lat_shape, jnp.float32)
-            latents = ((1.0 - t0) * lat + t0 * noise).astype(dtype)
-            if mask_image is not None:
-                m = _preprocess_mask(mask_image, lh, lw, batch)
-                inpaint_args = (lat, jnp.asarray(m),
-                                jax.random.fold_in(rng, 1))
+            if t0 >= 1.0 and mask_image is None:
+                # the encoded image would be multiplied by exactly zero:
+                # skip the encode and draw the start noise in `dtype` —
+                # strength=1.0 is then BITWISE text-to-image for any dtype
+                latents = jax.random.normal(rng, lat_shape, dtype)
+            else:
+                x = _preprocess_image(image, height, width)
+                if x.shape[0] not in (1, batch):
+                    raise ValueError(
+                        f"got {x.shape[0]} images for batch {batch}"
+                    )
+                lat = normalize_latents(
+                    self._encode_image_latents(jnp.asarray(x))
+                    .astype(jnp.float32),
+                    self.vae.config,
+                )
+                if lat.shape[0] == 1 and batch > 1:
+                    # encode once, broadcast the LATENTS over the batch
+                    lat = jnp.broadcast_to(lat, (batch, *lat.shape[1:]))
+                if lat.shape != lat_shape:
+                    raise ValueError(
+                        f"encoded image latents {lat.shape} != {lat_shape}"
+                    )
+                noise = jax.random.normal(rng, lat_shape, jnp.float32)
+                latents = ((1.0 - t0) * lat + t0 * noise).astype(dtype)
+                if mask_image is not None:
+                    m = _preprocess_mask(mask_image, lh, lw, batch)
+                    inpaint_args = (lat, jnp.asarray(m),
+                                    jax.random.fold_in(rng, 1))
         elif latents is None:
             latents = jax.random.normal(rng, lat_shape, dtype)
         if steps_per_dispatch is None:

@@ -184,7 +184,8 @@ def make_denoise_fn(
     """jit-compiled denoise closure.
 
     Returns `fn(params, latents, prompt_embeds, negative_embeds,
-    context_mask, neg_mask=None, callback=None)`.
+    context_mask, neg_mask=None, callback=None, start_step=0,
+    inpaint=None)`.
 
     `steps_per_dispatch`: split the trajectory into several device
     dispatches of at most this many steps (one compilation — the schedule
@@ -251,8 +252,10 @@ def make_denoise_fn(
             m = jnp.asarray(m, jnp.float32)
             keys = jax.random.split(base_key, n)
             if pad:
+                # keys[-1:] + repeat is shape-agnostic: new-style typed
+                # keys are (n,), legacy uint32 PRNGKeys are (n, 2)
                 keys = jnp.concatenate(
-                    [keys, jnp.broadcast_to(keys[-1], (pad,))]
+                    [keys, jnp.repeat(keys[-1:], pad, axis=0)]
                 )
         out_dtype = latents.dtype
         if donate and steps_per_dispatch is None and pad == 0:

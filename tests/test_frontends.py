@@ -132,3 +132,11 @@ class TestComfyNode:
         arr2 = np.asarray(img2)
         assert arr2.shape == (1, 16, 16, 3)
         assert arr2.min() >= 0.0 and arr2.max() <= 1.0
+
+        # batched IMAGE (B frames): one variation per frame
+        batch_in = np.concatenate([arr2, 1.0 - arr2], axis=0)
+        (img3,) = node.generate(
+            "fake", "a bird", "", 16, 16, 2, 6.0, 2, False, False,
+            image=batch_in, strength=0.5,
+        )
+        assert np.asarray(img3).shape == (2, 16, 16, 3)

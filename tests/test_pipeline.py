@@ -168,15 +168,12 @@ class TestImg2Img:
         np.testing.assert_array_equal(a, b)
 
     def test_strength_one_is_exactly_t2i(self, pipe):
-        # t0 == 1.0 exactly: the encoded image is multiplied away and the
-        # start latents equal the fp32 noise draw for this seed
+        # t0 == 1.0 + no mask: the encode is skipped and the start noise
+        # is drawn in the model dtype — bitwise the text-to-image path
         kw = dict(prompt="x", height=16, width=16, num_inference_steps=3,
                   seed=9, output_type="np")
         a = pipe(**kw, image=self._input(), strength=1.0).images
-        noise = jax.random.normal(jax.random.key(9), (1, 8, 8, 4),
-                                  jnp.float32)
-        b = pipe(**kw,
-                 latents=noise.astype(pipe.dit_model.config.dtype)).images
+        b = pipe(**kw).images
         np.testing.assert_array_equal(a, b)
 
     def test_low_strength_stays_closer_to_input(self, pipe):
@@ -219,6 +216,24 @@ class TestImg2Img:
         b = pipe(**kw, image=f32).images
         np.testing.assert_array_equal(a, b)
 
+    def test_signed_float_roundtrip_and_range_check(self, pipe):
+        # output_type="np" images are [-1, 1]; feeding one straight back
+        # must be detected as signed (not rescaled to [-3, 1])
+        kw = dict(prompt="x", height=16, width=16, num_inference_steps=2,
+                  seed=4, strength=0.5, output_type="np")
+        out = pipe(**kw, image=np.full((16, 16, 3), 60, np.uint8))
+        img = np.asarray(out.images[0], np.float32)  # ~[-1, 1] (decoder
+        assert img.min() < 0                         # overshoot clipped)
+        imgc = np.clip(img, -1.0, 1.0)
+        a = pipe(**kw, image=img).images
+        b = pipe(**kw, image=((imgc + 1) / 2)).images  # same as [0, 1]
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   atol=1e-5, rtol=1e-5)
+        with pytest.raises(ValueError, match="float image values"):
+            pipe(**kw, image=np.full((16, 16, 3), 3.7, np.float32))
+
+
     def test_errors(self, pipe):
         img = self._input()
         with pytest.raises(ValueError, match="strength"):
@@ -228,8 +243,10 @@ class TestImg2Img:
             pipe(prompt="x", height=16, width=16, num_inference_steps=2,
                  image=img, latents=jnp.zeros((1, 8, 8, 4)))
         with pytest.raises(ValueError, match="got 3 images"):
+            # strength 0.5 so the encode path runs (strength 0.8 at 2
+            # steps rounds to a full trajectory, which skips the encode)
             pipe(prompt="x", height=16, width=16, num_inference_steps=2,
-                 image=[img, img, img])
+                 image=[img, img, img], strength=0.5)
 
     def test_resize_from_other_size(self, pipe):
         out = pipe(prompt="x", height=16, width=24,
@@ -303,6 +320,15 @@ class TestInpainting:
         with pytest.raises(ValueError, match="requires image"):
             pipe(prompt="x", height=16, width=16, num_inference_steps=2,
                  mask_image=self._mask_left_half())
+
+    def test_legacy_prngkey_seed_with_pad(self, pipe):
+        # legacy uint32 PRNGKey seeds are (2,)-shaped: the inpaint key
+        # padding must stay shape-agnostic (5 steps @ 2/dispatch -> pad 1)
+        out = pipe(prompt="x", height=16, width=16, num_inference_steps=5,
+                   seed=jax.random.PRNGKey(3), image=self._img(),
+                   strength=1.0, mask_image=self._mask_left_half(size=8),
+                   steps_per_dispatch=2, output_type="np")
+        assert np.isfinite(np.asarray(out.images)).all()
 
 
 class TestAutoTiledDecode:

@@ -92,3 +92,41 @@ class TestMemoryModes:
         direct = vae.apply(params, z, method=AutoencoderKL.decode)
         tiled = decode_tiled(vae, params, z, tile_latent_size=16)
         np.testing.assert_array_equal(np.asarray(direct), np.asarray(tiled))
+
+    def test_encode_sliced_matches_direct(self):
+        from f_lite_tpu.models.vae import encode_sliced
+
+        vae, params = _init()
+        x = jax.random.uniform(jax.random.key(8), (3, 16, 16, 3),
+                               minval=-1, maxval=1)
+        direct = vae.apply(params, x, method=AutoencoderKL.encode)
+        sliced = encode_sliced(vae, params, x)
+        np.testing.assert_allclose(
+            np.asarray(direct), np.asarray(sliced), atol=1e-5
+        )
+
+    def test_encode_tiled_close_to_direct(self):
+        from f_lite_tpu.models.vae import encode_tiled
+
+        vae, params = _init()
+        sf = CFG.spatial_scale
+        x = jax.random.uniform(jax.random.key(9), (1, 48 * sf, 48 * sf, 3),
+                               minval=-1, maxval=1)
+        direct = vae.apply(params, x, method=AutoencoderKL.encode)
+        tiled = encode_tiled(vae, params, x, tile_latent_size=32)
+        assert tiled.shape == direct.shape
+        d = np.asarray(direct).ravel()
+        t = np.asarray(tiled).ravel()
+        corr = np.corrcoef(d, t)[0, 1]
+        assert corr > 0.95, corr
+        assert np.isfinite(t).all()
+
+    def test_encode_tiled_noop_when_small(self):
+        from f_lite_tpu.models.vae import encode_tiled
+
+        vae, params = _init()
+        x = jax.random.uniform(jax.random.key(10), (1, 16, 16, 3),
+                               minval=-1, maxval=1)
+        direct = vae.apply(params, x, method=AutoencoderKL.encode)
+        tiled = encode_tiled(vae, params, x, tile_latent_size=16)
+        np.testing.assert_array_equal(np.asarray(direct), np.asarray(tiled))
