@@ -131,6 +131,12 @@ def main(argv=None):
     padded = prompts + [prompts[-1]] * ((-n) % bs)
 
     results = []
+    # PNG encode+write happens on threads so the chip starts the next
+    # batch's denoise while the host serializes the previous images
+    from concurrent.futures import ThreadPoolExecutor
+
+    saver = ThreadPoolExecutor(2)
+    pending = []
     t_start = time.perf_counter()
     for bi in range(0, len(padded), bs):
         chunk = padded[bi : bi + bs]
@@ -149,10 +155,13 @@ def main(argv=None):
             if idx >= n:
                 break
             f = out_dir / f"{idx:05d}.png"
-            img.save(f)
+            pending.append(saver.submit(img.save, f))
             results.append({"prompt": prompts[idx], "file": str(f)})
         logger.info("batch %d: %.2fs (%.2fs/image)",
                     bi // bs, dt, dt / len(chunk))
+    for fut in pending:
+        fut.result()  # surface write errors; all files durable
+    saver.shutdown()
     wall = time.perf_counter() - t_start
     manifest = {
         "images": results,
