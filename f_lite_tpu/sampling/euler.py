@@ -101,8 +101,8 @@ def _denoise_schedule(
         eps = jax.random.normal(k, x_lat.shape, jnp.float32)
         known = (1.0 - t_next) * x_lat + t_next * eps
         mixed = m * z_new + (1.0 - m) * known
-        # zero-dt pad rows (t == t_next) must be FULL no-ops: re-mixing
-        # is not idempotent for soft mask values (m^2 != m)
+        # defensive: any zero-dt row (t == t_next) must be a FULL no-op —
+        # re-mixing is not idempotent for soft mask values (m^2 != m)
         return jnp.where(t_pair[0] > t_pair[1], mixed, z), None
 
     z_final, _ = jax.lax.scan(step_inpaint, z0, (schedule, keys))
@@ -188,10 +188,11 @@ def make_denoise_fn(
     inpaint=None)`.
 
     `steps_per_dispatch`: split the trajectory into several device
-    dispatches of at most this many steps (one compilation — the schedule
-    slice is a traced argument). Use when a single long dispatch is
-    undesirable (execution watchdogs, host-side progress); None = whole
-    trajectory in one dispatch. See `auto_steps_per_dispatch`.
+    dispatches of at most this many steps (the schedule slice is a traced
+    argument: one compilation for the full-size chunks plus at most one
+    more for a shorter remainder chunk). Use when a single long dispatch
+    is undesirable (execution watchdogs, host-side progress); None =
+    whole trajectory in one dispatch. See `auto_steps_per_dispatch`.
 
     `callback(done_steps, total_steps) -> bool`: invoked after every
     dispatch (once, at completion, for the single-dispatch path); return
@@ -232,43 +233,31 @@ def make_denoise_fn(
             schedule = schedule[start_step:]
             n = n - start_step
         k = steps_per_dispatch or n
-        # pad to a multiple of k with zero-dt pairs (no-op steps) so every
-        # dispatch reuses one compiled shape
-        pad = (-n) % k
-        if pad:
-            last_t = schedule[-1, 1]
-            schedule = jnp.concatenate(
-                [schedule,
-                 jnp.broadcast_to(jnp.stack([last_t, last_t]), (pad, 2))],
-                axis=0,
-            )
         x_lat = m = keys = None
         if inpaint is not None:
-            # one fresh-noise key per REAL schedule row; pad rows repeat
-            # the last key (their t_next == 0 zeroes the eps term, and
-            # splitting only the real n keeps chunked == single dispatch)
+            # one fresh-noise key per schedule row
             x_lat, m, base_key = inpaint
             x_lat = jnp.asarray(x_lat, jnp.float32)
             m = jnp.asarray(m, jnp.float32)
             keys = jax.random.split(base_key, n)
-            if pad:
-                # keys[-1:] + repeat is shape-agnostic: new-style typed
-                # keys are (n,), legacy uint32 PRNGKeys are (n, 2)
-                keys = jnp.concatenate(
-                    [keys, jnp.repeat(keys[-1:], pad, axis=0)]
-                )
         out_dtype = latents.dtype
-        if donate and steps_per_dispatch is None and pad == 0:
+        if donate and steps_per_dispatch is None:
             z = latents.astype(jnp.float32)  # single dispatch: safe to alias
         else:
             # explicit copy: the runner donates its z argument
             z = jnp.array(latents, jnp.float32, copy=True)
-        for s in range(0, n + pad, k):
+        # exact chunks: a remainder (n % k) runs as its own shorter slice.
+        # That is a second compiled shape (vs padding the schedule with
+        # zero-dt rows), but padded rows are NOT free — every no-op row
+        # still pays a full model forward (6.7% of the whole trajectory
+        # at 30 steps / k=16), while the extra compile is one-time and
+        # served by the persistent compilation cache.
+        for s in range(0, n, k):
+            e = min(s + k, n)
             z = runner(params, z, prompt_embeds, negative_embeds,
-                       context_mask, neg_mask, schedule[s : s + k],
-                       x_lat, m, keys[s : s + k] if keys is not None
-                       else None)
-            if callback is not None and callback(min(s + k, n), n):
+                       context_mask, neg_mask, schedule[s:e],
+                       x_lat, m, keys[s:e] if keys is not None else None)
+            if callback is not None and callback(e, n):
                 break
         return z.astype(out_dtype)
 
