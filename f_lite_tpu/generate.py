@@ -60,6 +60,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "repaint, black = keep; resized to the latent "
                         "grid. Use --strength 1.0 to fully regenerate "
                         "the masked region")
+    p.add_argument("--guidance_interval", type=float, nargs=2,
+                   default=None, metavar=("LO", "HI"),
+                   help="apply CFG only while the schedule t is inside "
+                        "[LO, HI]; other steps run conditional-only at "
+                        "half the model cost (limited-interval guidance)")
     return p
 
 
@@ -117,6 +122,7 @@ def generate_images(args) -> list[Path]:
         image=init_image,
         strength=args.strength,
         mask_image=mask_image,
+        guidance_interval=args.guidance_interval,
     )
     dt = time.perf_counter() - t0
 

@@ -522,6 +522,7 @@ class FLitePipeline:
         image: Any = None,
         strength: float = 0.8,
         mask_image: Any = None,
+        guidance_interval: tuple | None = None,
     ):
         """Generate images. Beyond the reference surface
         (`pipeline.py:188-202`):
@@ -550,6 +551,11 @@ class FLitePipeline:
           Use strength=1.0 to fully regenerate the masked region. Kept
           pixels still pass through the VAE encode/decode round trip
           (standard latent-inpainting behavior).
+        - `guidance_interval=(lo, hi)`: CFG only while the (shifted)
+          schedule t is inside [lo, hi]; other steps run the conditional
+          forward alone — half the model cost per step (limited-interval
+          guidance, Kynkäänniemi et al. 2024; (0.2, 0.8)-style windows
+          typically preserve or improve quality). None = CFG everywhere.
         """
         apg = apg_config if (apg_config and apg_config.enabled) else None
 
@@ -586,6 +592,9 @@ class FLitePipeline:
             guidance_scale=guidance_scale,
             apg=apg,
             alpha=alpha,
+            guidance_interval=(
+                tuple(guidance_interval) if guidance_interval else None
+            ),
         )
         rng = (
             seed
