@@ -35,6 +35,11 @@ def parse_args(argv=None):
     p.add_argument("--height", type=int, default=1024)
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--guidance_scale", type=float, default=6.0)
+    p.add_argument("--guidance_interval", type=float, nargs=2,
+                   default=None, metavar=("LO", "HI"),
+                   help="CFG only while the schedule t is inside "
+                        "[LO, HI]; other steps run conditional-only at "
+                        "half the model cost")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--precomputed_dir", type=str, default=None,
                    help="serve text embeddings from a precompute cache")
@@ -146,6 +151,7 @@ def main(argv=None):
             height=args.height, width=args.width,
             num_inference_steps=args.steps,
             guidance_scale=args.guidance_scale,
+            guidance_interval=args.guidance_interval,
             seed=args.seed + bi,
             steps_per_dispatch=args.steps_per_dispatch,
         )
