@@ -127,10 +127,27 @@ def generate_images(args) -> list[Path]:
     dt = time.perf_counter() - t0
 
     base = Path(args.output_file)
+    meta = {
+        "prompt": args.prompt,
+        "negative_prompt": args.negative_prompt,
+        "width": args.width, "height": args.height,
+        "steps": args.num_inference_steps,
+        "guidance_scale": args.guidance_scale,
+        "guidance_interval": args.guidance_interval,
+        "seed": args.seed, "model": args.model,
+        "image": args.image,
+        "strength": args.strength if args.image else None,
+        "mask": args.mask,
+        "apg": args.apg or None,
+        "quantize": args.quantize or None,
+        "lora_path": args.lora_path,
+    }
 
     def _save(img, path):
         if hasattr(img, "save"):  # PIL image (normal path)
-            img.save(path)
+            from f_lite_tpu.utils.image import save_with_metadata
+
+            save_with_metadata(img, path, meta)
             return path
         # VAE-less checkpoint: the pipeline returns raw latents — write
         # them as .npy instead of crashing on PIL-only .save

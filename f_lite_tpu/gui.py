@@ -185,7 +185,16 @@ def build_app(model_path: str, output_dir: str = "outputs",
             )
             img = out.images[0]
             path = dated_output_path(output_dir)
-            img.save(path)
+            from f_lite_tpu.utils.image import save_with_metadata
+
+            save_with_metadata(img, path, {
+                "prompt": p, "negative_prompt": negative or None,
+                "width": width, "height": height, "steps": int(steps),
+                "guidance_scale": guidance, "seed": int(actual_seed),
+                "apg": bool(use_apg) or None,
+                "strength": float(strength) if init_image is not None
+                else None,
+            })
             images.append(img)
             yield images, str(path), actual_seed
             if not forever or controller.should_stop:

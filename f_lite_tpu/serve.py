@@ -20,6 +20,8 @@ import logging
 import time
 from pathlib import Path
 
+from f_lite_tpu.utils.image import save_with_metadata
+
 logger = logging.getLogger("f_lite_tpu.serve")
 
 
@@ -161,7 +163,15 @@ def main(argv=None):
             if idx >= n:
                 break
             f = out_dir / f"{idx:05d}.png"
-            pending.append(saver.submit(img.save, f))
+            pending.append(saver.submit(save_with_metadata, img, f, {
+                "prompt": prompts[idx], "seed": args.seed + bi,
+                "width": args.width, "height": args.height,
+                "steps": args.steps,
+                "guidance_scale": args.guidance_scale,
+                "guidance_interval": args.guidance_interval,
+                "model": args.model,
+                "quantize": args.quantize or None,
+            }))
             results.append({"prompt": prompts[idx], "file": str(f)})
         logger.info("batch %d: %.2fs (%.2fs/image)",
                     bi // bs, dt, dt / len(chunk))

@@ -21,6 +21,39 @@ def to_pil_images(decoded: np.ndarray) -> list[Image.Image]:
     return [Image.fromarray(img) for img in x]
 
 
+def save_with_metadata(img: Image.Image, path, params: dict) -> None:
+    """Save a PNG with the generation parameters embedded as tEXt chunks.
+
+    Every parameter lands as its own `f-lite:<key>` entry plus one
+    combined JSON blob under `f-lite:parameters`, so images are
+    reproducible from the file alone (the A1111/ComfyUI convention of
+    parameter-stamped outputs). Non-PNG suffixes fall back to a plain
+    save (JPEG has no tEXt)."""
+    import json
+
+    from PIL.PngImagePlugin import PngInfo
+
+    if str(path).lower().endswith((".png",)):
+        info = PngInfo()
+        clean = {k: v for k, v in params.items() if v is not None}
+        for k, v in clean.items():
+            info.add_text(f"f-lite:{k}", str(v))
+        info.add_text("f-lite:parameters", json.dumps(clean))
+        img.save(path, pnginfo=info)
+    else:
+        img.save(path)
+
+
+def read_metadata(path) -> dict:
+    """Read back the `f-lite:parameters` blob from a stamped PNG
+    (empty dict if absent)."""
+    import json
+
+    with Image.open(path) as im:
+        raw = im.info.get("f-lite:parameters")
+    return json.loads(raw) if raw else {}
+
+
 def make_image_grid(
     images: list[Image.Image] | np.ndarray,
     nrow: int = 3,

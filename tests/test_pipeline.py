@@ -130,6 +130,13 @@ class TestCLI:
         for p in paths:
             assert p.exists()
             assert Image.open(p).size == (16, 16)
+        # generation parameters are stamped into the PNG (reproducibility)
+        from f_lite_tpu.utils.image import read_metadata
+
+        meta = read_metadata(paths[0])
+        assert meta["prompt"] == "a tiny test"
+        assert meta["steps"] == 1 and meta["seed"] == 0
+        assert "strength" not in meta  # None params are dropped
 
     def test_generate_cli_img2img(self, pipe, tmp_path):
         from f_lite_tpu.generate import main

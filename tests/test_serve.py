@@ -50,6 +50,11 @@ class TestServe:
         assert (out / "00004.png").exists()
         m = json.loads((out / "manifest.json").read_text())
         assert m["images_per_min"] > 0
+        # every PNG carries its generation parameters
+        from f_lite_tpu.utils.image import read_metadata
+
+        meta = read_metadata(out / "00002.png")
+        assert meta["prompt"] == "a bird" and meta["steps"] == 1
 
     def test_tp_serving(self, model_dir, tmp_path):
         from f_lite_tpu.serve import main
