@@ -22,7 +22,13 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         description="Generate images with an F-Lite model on TPU"
     )
-    p.add_argument("--prompt", type=str, required=True)
+    p.add_argument("--prompt", type=str, default=None,
+                   help="required unless --from_png supplies one")
+    p.add_argument("--from_png", type=str, default=None,
+                   help="re-generate from a parameter-stamped output PNG: "
+                        "its embedded f-lite:* metadata becomes the "
+                        "defaults, and any flag you pass explicitly "
+                        "overrides it")
     p.add_argument("--model", type=str, default="Freepik/F-Lite",
                    help="path to a converted checkpoint directory")
     p.add_argument("--negative_prompt", type=str, default=None)
@@ -184,9 +190,43 @@ def generate_images(args) -> list[Path]:
     return paths
 
 
+# --from_png metadata key -> CLI arg name
+_PNG_META_ARGS = [
+    ("prompt", "prompt"), ("negative_prompt", "negative_prompt"),
+    ("width", "width"), ("height", "height"),
+    ("steps", "num_inference_steps"),
+    ("guidance_scale", "guidance_scale"),
+    ("guidance_interval", "guidance_interval"), ("seed", "seed"),
+    ("model", "model"), ("image", "image"), ("strength", "strength"),
+    ("mask", "mask"), ("apg", "apg"), ("quantize", "quantize"),
+    ("lora_path", "lora_path"),
+]
+
+
+def _apply_png_metadata(args, parser):
+    """Fill args still at their parser default from the PNG's embedded
+    parameters (an explicitly-passed flag wins; passing a flag at its
+    default value counts as unset — acceptable for a convenience path)."""
+    from f_lite_tpu.utils.image import read_metadata
+
+    meta = read_metadata(args.from_png)
+    if not meta:
+        raise SystemExit(f"{args.from_png} has no f-lite metadata")
+    defaults = vars(parser.parse_args([]))
+    for mk, arg in _PNG_META_ARGS:
+        if mk in meta and getattr(args, arg) == defaults[arg]:
+            setattr(args, arg, meta[mk])
+    return args
+
+
 def main(argv=None):
     logging.basicConfig(level=logging.INFO)
-    args = build_parser().parse_args(argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.from_png:
+        args = _apply_png_metadata(args, parser)
+    if args.prompt is None:
+        parser.error("--prompt is required (or --from_png with metadata)")
     from f_lite_tpu.utils.env import enable_compilation_cache
 
     enable_compilation_cache()

@@ -138,6 +138,23 @@ class TestCLI:
         assert meta["steps"] == 1 and meta["seed"] == 0
         assert "strength" not in meta  # None params are dropped
 
+        # --from_png regenerates from the stamped parameters; explicit
+        # flags still override (fresh output file + forced no_text_encoder)
+        paths2 = main([
+            "--from_png", str(paths[0]),
+            "--output_file", str(tmp_path / "again.png"),
+            "--no_text_encoder", "--num_images", "1",
+        ])
+        assert paths2[0].exists()
+        meta2 = read_metadata(paths2[0])
+        assert meta2["prompt"] == "a tiny test"
+        assert meta2["steps"] == 1 and meta2["seed"] == 0
+        # same parameters + same seed -> pixel-identical regeneration
+        np.testing.assert_array_equal(
+            np.asarray(Image.open(paths2[0])),
+            np.asarray(Image.open(paths[0])),
+        )
+
     def test_generate_cli_img2img(self, pipe, tmp_path):
         from f_lite_tpu.generate import main
 
