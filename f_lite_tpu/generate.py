@@ -149,11 +149,15 @@ def generate_images(args) -> list[Path]:
         "lora_path": args.lora_path,
     }
 
-    def _save(img, path):
+    def _save(img, path, index):
         if hasattr(img, "save"):  # PIL image (normal path)
             from f_lite_tpu.utils.image import save_with_metadata
 
-            save_with_metadata(img, path, meta)
+            save_with_metadata(
+                img, path,
+                {**meta, "num_images": args.num_images,
+                 "image_index": index},
+            )
             return path
         # VAE-less checkpoint: the pipeline returns raw latents — write
         # them as .npy instead of crashing on PIL-only .save
@@ -166,11 +170,11 @@ def generate_images(args) -> list[Path]:
 
     paths = []
     if len(out.images) == 1:
-        paths.append(_save(out.images[0], base))
+        paths.append(_save(out.images[0], base, 1))
     else:
         for i, img in enumerate(out.images, 1):
             p = base.with_name(f"{base.stem}_{i}{base.suffix}")
-            paths.append(_save(img, p))
+            paths.append(_save(img, p, i))
     logger.info("generated %d image(s) in %.2fs -> %s",
                 len(paths), dt, ", ".join(map(str, paths)))
     try:  # rich console output like the reference CLI (`generate.py:10-11`)
@@ -199,7 +203,7 @@ _PNG_META_ARGS = [
     ("guidance_interval", "guidance_interval"), ("seed", "seed"),
     ("model", "model"), ("image", "image"), ("strength", "strength"),
     ("mask", "mask"), ("apg", "apg"), ("quantize", "quantize"),
-    ("lora_path", "lora_path"),
+    ("lora_path", "lora_path"), ("num_images", "num_images"),
 ]
 
 
@@ -216,6 +220,24 @@ def _apply_png_metadata(args, parser):
     for mk, arg in _PNG_META_ARGS:
         if mk in meta and getattr(args, arg) == defaults[arg]:
             setattr(args, arg, meta[mk])
+    # one seed draws the whole batch: a file that was image k of N (or
+    # batch position k in serve.py) only reappears as the k-th output of
+    # an identically-batched run — --from_png restores num_images above;
+    # serve.py's batched draws are not reproducible at batch 1
+    if meta.get("image_index", 1) > 1:
+        logger.warning(
+            "--from_png source was image %s of %s: it reproduces as the "
+            "%s-th output of this run, not the first",
+            meta["image_index"], meta.get("num_images"),
+            meta["image_index"],
+        )
+    if "batch_index" in meta and meta["batch_index"] > 0:
+        logger.warning(
+            "--from_png source was batch position %s of a serve.py batch "
+            "(batch_size=%s): exact reproduction needs the same batch "
+            "composition; this run will differ",
+            meta["batch_index"], meta.get("batch_size"),
+        )
     return args
 
 

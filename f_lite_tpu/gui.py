@@ -194,6 +194,7 @@ def build_app(model_path: str, output_dir: str = "outputs",
                 "apg": bool(use_apg) or None,
                 "strength": float(strength) if init_image is not None
                 else None,
+                "model": model_path,
             })
             images.append(img)
             yield images, str(path), actual_seed

@@ -61,17 +61,34 @@ class FLitePipelineOutput:
     images: list
 
 
-def _preprocess_image(image, height: int, width: int):
+def _preprocess_image(image, height: int, width: int, _signed=None):
     """PIL image / (H, W, 3) array / list of either -> (B0, H, W, 3) fp32
     in [-1, 1] (the VAE's training range), resized to (height, width).
 
     uint8 arrays are [0, 255]; float arrays are auto-detected: any
     negative value means the array is already in [-1, 1] (e.g. a
     `output_type="np"` image fed straight back), otherwise [0, 1].
-    Values outside both ranges raise. B0 is NOT broadcast here — the
-    caller encodes once and broadcasts the latents."""
+    CAVEAT: an all-non-negative [-1, 1] image is indistinguishable from
+    [0, 1] data and is taken as [0, 1] — rescale such inputs yourself
+    (x/2+0.5) or pass uint8/PIL. A list is classified as a whole (one
+    signed frame makes every float frame signed), so one batch never
+    mixes interpretations. Values outside both ranges raise. B0 is NOT
+    broadcast here — the caller encodes once and broadcasts latents."""
     if isinstance(image, (list, tuple)):
-        arrs = [_preprocess_image(i, height, width)[0] for i in image]
+        float_mins = [
+            float(np.asarray(i).min()) for i in image
+            if isinstance(i, np.ndarray) and i.dtype.kind == "f"
+        ]
+        signed_all = bool(float_mins) and min(float_mins) < 0.0
+        arrs = [
+            _preprocess_image(
+                i, height, width,
+                _signed=signed_all
+                if isinstance(i, np.ndarray) and i.dtype.kind == "f"
+                else None,
+            )[0]
+            for i in image
+        ]
         return np.ascontiguousarray(np.stack(arrs), np.float32)
     try:
         from PIL import Image as PILImage
@@ -99,7 +116,16 @@ def _preprocess_image(image, height: int, width: int):
         else:
             x = x.astype(np.float32)
             mn, mx = float(x.min()), float(x.max())
-            if mn < 0.0:
+            if _signed and mn >= 0.0:
+                # batch-level classification: a sibling frame was signed,
+                # so this all-non-negative frame is [-1, 1] too
+                if mx > 1.001:
+                    raise ValueError(
+                        f"float image values in [{mn:.3g}, {mx:.3g}] in "
+                        "a [-1, 1]-classified batch"
+                    )
+                signed = True
+            elif mn < 0.0:
                 # already in the VAE's [-1, 1] range (e.g. an
                 # output_type="np" image fed back); decoders overshoot
                 # the nominal range slightly, so clip rather than reject
@@ -616,17 +642,20 @@ class FLitePipeline:
             n = num_inference_steps
             start_step = n - max(1, min(n, int(round(strength * n))))
             t0 = schedule_start_time(settings, lh, lw, start_step)
+            # validate the inputs on EVERY path (count/size/range errors
+            # must not depend on whether strength rounds to a full
+            # trajectory); only the encode itself is skippable
+            x = _preprocess_image(image, height, width)
+            if x.shape[0] not in (1, batch):
+                raise ValueError(
+                    f"got {x.shape[0]} images for batch {batch}"
+                )
             if t0 >= 1.0 and mask_image is None:
                 # the encoded image would be multiplied by exactly zero:
                 # skip the encode and draw the start noise in `dtype` —
                 # strength=1.0 is then BITWISE text-to-image for any dtype
                 latents = jax.random.normal(rng, lat_shape, dtype)
             else:
-                x = _preprocess_image(image, height, width)
-                if x.shape[0] not in (1, batch):
-                    raise ValueError(
-                        f"got {x.shape[0]} images for batch {batch}"
-                    )
                 lat = normalize_latents(
                     self._encode_image_latents(jnp.asarray(x))
                     .astype(jnp.float32),

@@ -114,6 +114,28 @@ def _denoise_schedule(
     return z_final
 
 
+def _interval_segments(settings: DenoiseSettings, schedule) -> list:
+    """[(start, end, use_cfg)] consecutive same-mode runs of the schedule
+    under `settings.guidance_interval` (one all-CFG segment when the
+    interval is unset or CFG is off entirely)."""
+    n = schedule.shape[0]
+    if (settings.guidance_interval is None
+            or settings.guidance_scale < 1.0):
+        return [(0, n, True)]
+    lo, hi = settings.guidance_interval
+    t_host = jax.device_get(schedule[:, 0])
+    on = [bool(lo <= float(t) <= hi) for t in t_host]
+    segs = []
+    s = 0
+    while s < n:
+        e = s + 1
+        while e < n and on[e] == on[s]:
+            e += 1
+        segs.append((s, e, on[s]))
+        s = e
+    return segs
+
+
 def denoise(
     dit_apply: Callable,
     params: Any,
@@ -130,13 +152,20 @@ def denoise(
     (typically `DiT(config).apply`). prompt/negative embeds: (B, S, Ctx).
     `negative_mask` defaults to `context_mask` (all-ones negative embeds
     use the positive mask, `train.py:561-562` semantics).
+    Honors `settings.guidance_interval` (same segmentation as
+    `make_denoise_fn`).
     """
     b, lh, lw, _ = latents.shape
     schedule = _full_schedule(settings, lh, lw)
-    z = _denoise_schedule(
-        dit_apply, params, latents, prompt_embeds, negative_embeds,
-        context_mask, negative_mask, schedule, settings,
-    )
+    nocfg = dataclasses.replace(settings, guidance_scale=0.0, apg=None,
+                                guidance_interval=None)
+    z = latents
+    for s, e, use_cfg in _interval_segments(settings, schedule):
+        z = _denoise_schedule(
+            dit_apply, params, z, prompt_embeds, negative_embeds,
+            context_mask, negative_mask, schedule[s:e],
+            settings if use_cfg else nocfg,
+        )
     return z.astype(latents.dtype)
 
 
@@ -216,9 +245,10 @@ def make_denoise_fn(
 
     `settings.guidance_interval`: steps whose t falls outside [lo, hi]
     run WITHOUT CFG (conditional forward only). The trajectory is split
-    host-side into consecutive same-mode segments, each driven by its own
-    compiled program — at most two extra shapes, one-time and served by
-    the persistent compilation cache.
+    host-side into consecutive same-mode segments, each chunked from its
+    own start — every distinct (slice length, mode) pair is its own
+    compiled program (a 3-segment window at k=16 can reach ~4 shapes).
+    All one-time, served by the persistent compilation cache.
     """
 
     def make_runner(s):
@@ -275,24 +305,15 @@ def make_denoise_fn(
         # still pays a full model forward (6.7% of the whole trajectory
         # at 30 steps / k=16), while the extra compile is one-time and
         # served by the persistent compilation cache.
-        if runner_nocfg is None:
-            windows = [(s, min(s + k, n), runner) for s in range(0, n, k)]
-        else:
-            # limited-interval guidance: consecutive same-mode segments,
-            # each chunked at k (the schedule values are host-concrete)
-            lo, hi = settings.guidance_interval
-            t_host = jax.device_get(schedule[:, 0])
-            on = [(lo <= float(t) <= hi) for t in t_host]
-            windows = []
-            s = 0
-            while s < n:
-                e = s + 1
-                while e < n and on[e] == on[s]:
-                    e += 1
-                rn = runner if on[s] else runner_nocfg
-                for cs in range(s, e, k):
-                    windows.append((cs, min(cs + k, e), rn))
-                s = e
+        # limited-interval guidance: consecutive same-mode segments, each
+        # chunked at k (the schedule values are host-concrete); one
+        # all-CFG segment when no interval is set
+        windows = []
+        for s, e, use_cfg in _interval_segments(settings, schedule):
+            rn = runner if (use_cfg or runner_nocfg is None) \
+                else runner_nocfg
+            for cs in range(s, e, k):
+                windows.append((cs, min(cs + k, e), rn))
         for s, e, rn in windows:
             z = rn(params, z, prompt_embeds, negative_embeds,
                    context_mask, neg_mask, schedule[s:e],

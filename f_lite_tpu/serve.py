@@ -171,6 +171,9 @@ def main(argv=None):
                 "guidance_interval": args.guidance_interval,
                 "model": args.model,
                 "quantize": args.quantize or None,
+                # one seed draws the whole batch: exact reproduction
+                # needs the same batch composition (--from_png warns)
+                "batch_size": bs, "batch_index": j,
             }))
             results.append({"prompt": prompts[idx], "file": str(f)})
         logger.info("batch %d: %.2fs (%.2fs/image)",

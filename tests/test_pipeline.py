@@ -138,20 +138,24 @@ class TestCLI:
         assert meta["steps"] == 1 and meta["seed"] == 0
         assert "strength" not in meta  # None params are dropped
 
-        # --from_png regenerates from the stamped parameters; explicit
-        # flags still override (fresh output file + forced no_text_encoder)
+        # --from_png regenerates from the stamped parameters (incl.
+        # num_images=2); explicit flags still override (fresh output
+        # file + forced no_text_encoder)
         paths2 = main([
             "--from_png", str(paths[0]),
             "--output_file", str(tmp_path / "again.png"),
-            "--no_text_encoder", "--num_images", "1",
+            "--no_text_encoder",
         ])
-        assert paths2[0].exists()
+        assert len(paths2) == 2 and paths2[0].exists()
         meta2 = read_metadata(paths2[0])
         assert meta2["prompt"] == "a tiny test"
         assert meta2["steps"] == 1 and meta2["seed"] == 0
-        # same parameters + same seed -> pixel-identical regeneration
+        # same parameters + same seed -> pixel-identical regeneration.
+        # source was a num_images=2 run: from_png restores num_images, so
+        # file k reproduces as the k-th output of the regenerated set
+        src_idx = read_metadata(paths[0])["image_index"]
         np.testing.assert_array_equal(
-            np.asarray(Image.open(paths2[0])),
+            np.asarray(Image.open(paths2[src_idx - 1])),
             np.asarray(Image.open(paths[0])),
         )
 
@@ -345,9 +349,10 @@ class TestInpainting:
             pipe(prompt="x", height=16, width=16, num_inference_steps=2,
                  mask_image=self._mask_left_half())
 
-    def test_legacy_prngkey_seed_with_pad(self, pipe):
-        # legacy uint32 PRNGKey seeds are (2,)-shaped: the inpaint key
-        # padding must stay shape-agnostic (5 steps @ 2/dispatch -> pad 1)
+    def test_legacy_prngkey_seed_chunked(self, pipe):
+        # legacy uint32 PRNGKey seeds are (2,)-shaped, not typed keys:
+        # the inpaint key split/slicing must stay shape-agnostic through
+        # the remainder-chunk path (5 steps @ 2/dispatch -> chunks 2+2+1)
         out = pipe(prompt="x", height=16, width=16, num_inference_steps=5,
                    seed=jax.random.PRNGKey(3), image=self._img(),
                    strength=1.0, mask_image=self._mask_left_half(size=8),
