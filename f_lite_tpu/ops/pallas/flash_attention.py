@@ -460,11 +460,26 @@ def _flash_fwd_vjp(q, k, v, kv_lens, scale, block_q, block_k,
 def _flash_bwd_vjp(scale, block_q, block_k, bwd_block_q, bwd_block_k,
                    interpret, residuals, g):
     q, k, v, kv_lens, out, lse = residuals
-    # backward kernels stream 5 q-sized operands + lse per invocation:
-    # fixed moderate blocks regardless of the forward's choice, unless
-    # explicitly overridden (sweep/tuning knob)
-    block_q = bwd_block_q or min(block_q, 512)
-    block_k = bwd_block_k or min(block_k, 256)
+    # Backward blocks are chosen independently of the forward's (the FA2
+    # rewrite dropped O from the kernel streams, so much larger q blocks
+    # fit VMEM than the round-2 (512, 256) clamp assumed). On-chip sweep
+    # at B=2/8, L=4112/16400, D=256 (PERF.md round 3): (2048, 256) is the
+    # fastest config everywhere it compiles — 9.9 ms vs 10.3-11.0 for
+    # (512, *) at the serving shape, 161.7 TF/s at B=8 — and (2048, 512)
+    # exceeds the 16 MB scoped-vmem limit by 1.2 M. fp32 inputs double
+    # every dtype-sized stream (parity/audit paths only), so they keep
+    # the safe (512, 256); wide heads (d_p > 256) scale bq down to hold
+    # the q/do/lse/di stream budget constant.
+    if bwd_block_q is not None:
+        block_q = bwd_block_q
+    elif q.dtype == jnp.bfloat16:
+        d_p = _round_up(q.shape[-1], _LANES)
+        block_q = max(512, min(2048, 2048 * 256 // d_p))
+    else:
+        block_q = 512
+    block_k = bwd_block_k or 256
+    block_q = min(block_q, _round_up(q.shape[2], 128))
+    block_k = min(block_k, _round_up(k.shape[2], 128))
     # FA2: D = rowsum(dO*O) computed ONCE over the unpadded arrays (one
     # bandwidth-bound pass) instead of per (q, k) tile inside both
     # kernels — drops O from the kernel input streams entirely
@@ -532,8 +547,9 @@ def flash_attention(
     Unaligned shapes are padded and tail-masked by the wrapper; a small
     ragged q tail is computed by XLA so the kernel's q blocks stay dense.
     Differentiable: the backward runs fused Pallas kernels with O(L) memory
-    (its blocks are clamped to (512, 256) independent of the forward's;
-    `bwd_block_q`/`bwd_block_k` override that clamp for tuning sweeps).
+    (its blocks default to (2048, 256) for bf16 / (512, 256) for fp32,
+    independent of the forward's — on-chip sweep, PERF.md round 3;
+    `bwd_block_q`/`bwd_block_k` override for tuning sweeps).
 
     Default blocks adapt to shape (on-chip sweeps at 7B serving shapes,
     v5e): a single TPU core serializes the grid, so when the (b*h) grid
