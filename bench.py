@@ -184,12 +184,11 @@ def main():
 
     def _decode(p, z):
         z = z / vae_cfg.scaling_factor + vae_cfg.shift_factor
-        if lh > 128 or lw > 128:
-            # >1024px: full decode exceeds HBM (measured: 2048px wants
-            # 16.5 GB of decoder activations) — tiled decode with blended
-            # seams, the same memory mode a real deployment uses here
-            from f_lite_tpu.models.vae import decode_tiled
+        from f_lite_tpu.models.vae import decode_tiled, resolve_memory_mode
 
+        if resolve_memory_mode("auto", max(lh, lw)) == "tiled":
+            # >1024px: full decode exceeds HBM — tiled decode with blended
+            # seams, the same memory mode a real deployment uses here
             return decode_tiled(vae, p, z)
         if batch > 1:
             # sliced decode (the `enable_slicing` memory mode): per-sample

@@ -153,6 +153,15 @@ class ImageDataset:
         self._s3 = None
         self.aspect_ratio_buckets: dict | None = None
 
+    def __getstate__(self):
+        # picklable for the loader's forkserver process workers: the lazy
+        # HTTP session / boto3 client hold sockets and locks — drop them;
+        # each worker re-creates its own on first use
+        state = self.__dict__.copy()
+        state["_session"] = None
+        state["_s3"] = None
+        return state
+
     # ---- metadata -------------------------------------------------------
     def _load_metadata(self, data_path, base_dir, kind, debug):
         import pandas as pd

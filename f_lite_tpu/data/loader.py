@@ -9,19 +9,29 @@ Worker types (`tools/bench_input_pipeline.py` measures both):
 - "thread" (default): IO-bound fetching releases the GIL in requests/PIL,
   and PIL decode + the native OpenMP normalize run outside the GIL too —
   the right default for network-backed datasets.
-- "process": fork-based ProcessPoolExecutor for decode-bound workloads
-  where Python-level crop/metadata work throttles threads. Children
-  inherit the dataset via fork (Linux); per-item results cross a pipe as
-  pickled numpy. Use with local (file://, dummy://) backends, or let each
-  child lazily open its own HTTP/S3 session (sessions are created on
-  first use, so an unused parent session is never shared).
+- "process": for decode-bound workloads where Python-level crop/metadata
+  work throttles threads. Picklable datasets (the product path —
+  ImageDataset drops its lazy HTTP/S3 clients on pickle) run under a
+  FORKSERVER pool: workers fork from a clean, thread-free server process
+  started with the TPU backend env stripped, so they can never inherit a
+  lock held mid-fork by the parent's jax/gRPC/OpenMP threads (plain fork
+  from a live training process is the classic fork-with-threads deadlock,
+  and the parent's native OpenMP normalize makes libgomp state in a
+  forked child undefined). Each worker receives the dataset once, pickled
+  through the pool initializer, and never re-imports the user's __main__
+  script (no `if __name__ == "__main__"` guard needed — see
+  _no_main_reimport). Unpicklable datasets (e.g. closures/local classes)
+  fall back to the old fork pool with a logged warning.
 """
 
 from __future__ import annotations
 
+import contextlib
 import functools
+import importlib.machinery
 import itertools
 import queue
+import sys
 import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Iterable
@@ -50,6 +60,103 @@ def _fork_child_init():
     import atexit
 
     atexit._clear()
+
+
+# forkserver workers: the dataset arrives once via the pool initializer
+# (pickled in initargs), not via fork inheritance
+_WORKER_DATASET = None
+
+
+def _proc_init(ds_bytes):
+    global _WORKER_DATASET
+    import pickle
+
+    _WORKER_DATASET = pickle.loads(ds_bytes)
+
+
+def _proc_getitem(idx):
+    return _WORKER_DATASET[idx]
+
+
+_forkserver_started = False
+
+_MAIN_SPEC_LOCK = threading.Lock()
+
+
+@contextlib.contextmanager
+def _no_main_reimport():
+    """Forkserver children run multiprocessing.spawn.prepare(), which
+    re-imports the parent's __main__ from its file path — re-executing an
+    unguarded `python script.py` once per worker (verified: it crashed the
+    pool from a plain script whose module level touches the TPU). Loader
+    workers need only this module plus the pickled dataset, never user
+    main: naming __main__'s spec literally "__main__" makes the child's
+    spawn._fixup_main_from_name return before importing anything. Held
+    around every pool call that can lazily spawn a worker (spawning is
+    one-per-submit in ProcessPoolExecutor)."""
+    main = sys.modules.get("__main__")
+    with _MAIN_SPEC_LOCK:
+        old = getattr(main, "__spec__", None) if main is not None else None
+        if main is not None:
+            main.__spec__ = importlib.machinery.ModuleSpec("__main__", None)
+        try:
+            yield
+        finally:
+            if main is not None:
+                main.__spec__ = old
+
+
+class _ForkserverPool:
+    """ProcessPoolExecutor wrapper applying _no_main_reimport around
+    map(), whose eager per-item submits are where workers get spawned."""
+
+    def __init__(self, ex):
+        self._ex = ex
+
+    def map(self, fn, *iterables):
+        with _no_main_reimport():
+            return self._ex.map(fn, *iterables)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return self._ex.__exit__(*exc)
+
+
+def _ensure_clean_forkserver():
+    """Start the (singleton) forkserver with TPU/axon env stripped, so
+    neither the server nor its forked workers ever register the remote
+    TPU backend. Preloads the (jax-free) dataset module so every worker
+    forks with numpy/PIL already imported; __main__ is never preloaded or
+    re-imported (see _no_main_reimport). The server starts exactly once
+    per process; later pools reuse it."""
+    global _forkserver_started
+    if _forkserver_started:
+        return
+    import multiprocessing
+    import os
+
+    # ImportError during preload is swallowed by the server (warm-up
+    # only); dataset.py imports numpy+PIL but no jax, keeping the server
+    # thread-free
+    multiprocessing.set_forkserver_preload(["f_lite_tpu.data.dataset"])
+    from multiprocessing import forkserver
+
+    saved = {
+        k: os.environ.pop(k, None)
+        for k in ("PALLAS_AXON_POOL_IPS", "JAX_PLATFORMS")
+    }
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    try:
+        forkserver.ensure_running()
+    finally:
+        for k, val in saved.items():
+            if val is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = val
+    _forkserver_started = True
 
 
 class DataLoader:
@@ -84,13 +191,45 @@ class DataLoader:
     def _make_pool(self):
         if self.worker_type == "process":
             import multiprocessing
+            import pickle
             from concurrent.futures import ProcessPoolExecutor
 
-            # fork: children inherit the dataset through _FORK_DATASETS —
-            # no per-task dataset pickling, only (idx, result) cross pipes.
-            # Re-registered on every pool creation (one pool per __iter__),
-            # so epoch-dependent dataset state (set_epoch) is current in
-            # the children of each fresh epoch's fork.
+            try:
+                ds_bytes = pickle.dumps(
+                    self.dataset, protocol=pickle.HIGHEST_PROTOCOL
+                )
+            except Exception as e:
+                ds_bytes = None
+                pickle_err = e
+            if ds_bytes is not None:
+                # forkserver: workers fork from a clean thread-free server
+                # (no fork-with-threads / libgomp hazard — module
+                # docstring). Dataset pickled ONCE per pool creation (one
+                # pool per __iter__), so epoch-dependent dataset state
+                # (set_epoch) is current in each fresh epoch's workers.
+                _ensure_clean_forkserver()
+                ctx = multiprocessing.get_context("forkserver")
+                return (
+                    _ForkserverPool(
+                        ProcessPoolExecutor(self.num_workers,
+                                            mp_context=ctx,
+                                            initializer=_proc_init,
+                                            initargs=(ds_bytes,))),
+                    _proc_getitem,
+                    None,
+                )
+            # unpicklable dataset: fall back to fork inheritance through
+            # _FORK_DATASETS (no per-task dataset pickling, only
+            # (idx, result) cross pipes) — carries the fork-with-threads
+            # hazard, hence the warning
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "dataset is not picklable (%s); process workers fall back "
+                "to fork, which is unsafe in a multithreaded/TPU-attached "
+                "parent — make the dataset picklable to use the forkserver "
+                "pool", pickle_err,
+            )
             token = next(_FORK_TOKENS)
             _FORK_DATASETS[token] = self.dataset
             ctx = multiprocessing.get_context("fork")

@@ -237,6 +237,23 @@ def denormalize_latents(latents: jax.Array, cfg: VAEConfig) -> jax.Array:
     return latents / cfg.scaling_factor + cfg.shift_factor
 
 
+# "auto" memory mode switches to tiled past this many latents on the long
+# side (= 1024px output): the mid-block attention is quadratic in
+# pixels/64 on both encode and decode — a full 2048px decode wants 16.5 GB
+# of decoder activations, measured HBM OOM on a 16 GB v5e
+AUTO_TILE_LATENTS = 128
+
+
+def resolve_memory_mode(mode: str, lmax: int) -> str:
+    """Resolve the VAE memory mode for an image whose LATENT long side is
+    `lmax`: explicit modes pass through; "auto" tiles past
+    AUTO_TILE_LATENTS. The single source of the threshold for the
+    pipeline's encode/decode paths and bench.py."""
+    if mode != "auto":
+        return mode
+    return "tiled" if lmax > AUTO_TILE_LATENTS else "direct"
+
+
 def decode_sliced(vae: AutoencoderKL, params, z: jax.Array) -> jax.Array:
     """Per-sample decode (memory mode akin to `vae.enable_slicing`)."""
     return jax.lax.map(

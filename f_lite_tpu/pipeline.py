@@ -43,6 +43,7 @@ from f_lite_tpu.models.vae import (
     decode_tiled,
     denormalize_latents,
     normalize_latents,
+    resolve_memory_mode,
 )
 from f_lite_tpu.ops.guidance import APGConfig
 from f_lite_tpu.sampling.euler import (
@@ -163,8 +164,18 @@ def _preprocess_mask(mask, lh: int, lw: int, batch: int):
             if a.ndim == 3:
                 a = a[..., 0]
             if a.dtype != np.uint8:
-                a = np.clip(a.astype(np.float32) * 255.0, 0, 255
-                            ).astype(np.uint8)
+                # non-uint8 masks must be in [0, 1]: silently scaling a
+                # 0-255 float/int mask would clip every value >= 1 to
+                # full repaint and destroy soft blends
+                af = a.astype(np.float32)
+                mn, mx = float(af.min()), float(af.max())
+                if mn < 0.0 or mx > 1.001:
+                    raise ValueError(
+                        f"mask values in [{mn:.3g}, {mx:.3g}] — expected "
+                        "[0, 1] for float/int masks; pass uint8 (or "
+                        "divide by 255) for [0, 255]"
+                    )
+                a = np.clip(af * 255.0, 0, 255).astype(np.uint8)
             mask = PILImage.fromarray(a, "L")
         else:
             mask = mask.convert("L")
@@ -264,10 +275,10 @@ class FLitePipeline:
         explicit modes are respected, mirroring the decode side."""
         from f_lite_tpu.models.vae import encode_sliced, encode_tiled
 
-        mode = self._decode_mode
-        if mode == "auto":
-            lmax = max(x.shape[1], x.shape[2]) // self.vae_scale_factor
-            mode = "tiled" if lmax > 128 else "direct"
+        mode = resolve_memory_mode(
+            self._decode_mode,
+            max(x.shape[1], x.shape[2]) // self.vae_scale_factor,
+        )
         if mode == "tiled":
             return encode_tiled(self.vae, self.vae_params, x)
         if mode == "sliced":
@@ -568,8 +579,10 @@ class FLitePipeline:
           interpolant z = (1-t)·x + t·ε — before denoising the remaining
           steps. strength in (0, 1]: 1.0 ≡ pure text-to-image, small
           values stay close to the input. The schedule slice is a traced
-          argument: every strength reuses the cached compilation (when
-          dispatch chunking is active, the default).
+          argument: with dispatch chunking (the default) all full-size
+          chunks share one compilation across strengths; a strength whose
+          remainder-chunk length is new compiles that one short shape
+          once (persistent-cache served afterwards).
         - `mask_image` (with `image`): latent inpainting. White = repaint,
           black = keep (soft values blend); after every Euler step the kept
           region is re-imposed at that step's marginal (fresh noise per
@@ -717,11 +730,7 @@ class FLitePipeline:
         z = denormalize_latents(
             final.astype(jnp.float32), self.vae.config
         )
-        mode = self._decode_mode
-        if mode == "auto":
-            # past 1024px output the full decode OOMs a 16 GB chip (see
-            # __init__); an explicitly-set mode is always respected
-            mode = "tiled" if max(z.shape[1:3]) > 128 else "direct"
+        mode = resolve_memory_mode(self._decode_mode, max(z.shape[1:3]))
         if mode == "tiled":
             decoded = decode_tiled(self.vae, self.vae_params, z)
         elif mode == "sliced":

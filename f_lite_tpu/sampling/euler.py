@@ -236,8 +236,10 @@ def make_denoise_fn(
 
     `start_step`: begin the trajectory at this schedule index (image-to-
     image: the caller noises its latents to `schedule_start_time(...,
-    start_step)` first). The schedule slice is a traced argument, so with
-    chunking every strength reuses ONE compilation.
+    start_step)` first). The schedule slice is a traced argument, so all
+    full-size chunks share one compilation across strengths; each distinct
+    remainder length `(steps - start_step) % k` adds one (small, cheaper)
+    compiled shape, served from the persistent cache thereafter.
 
     `inpaint`: optional (x_lat, repaint_mask, base_key) — latent
     inpainting; see `_denoise_schedule`. Adds one compiled variant (the

@@ -299,3 +299,28 @@ class TestExportCLI:
         p1 = load_file(str(jax_dir / "dit" / "flax_params.safetensors"))
         p2 = load_file(str(jax_dir2 / "dit" / "flax_params.safetensors"))
         _assert_exact(dict(p1), dict(p2))
+
+    def test_model_index_component_classes(self, tmp_path):
+        """model_index.json must name loadable transformers classes: a
+        tokenizer dir resolves its tokenizer_class (AutoModel would crash
+        diffusers' from_pretrained — tokenizer dirs have no weights), a
+        text_encoder dir its architectures[0]."""
+        from convert_checkpoint import _hf_component_class
+
+        tok = tmp_path / "tokenizer"
+        tok.mkdir()
+        (tok / "tokenizer_config.json").write_text(
+            json.dumps({"tokenizer_class": "T5Tokenizer"})
+        )
+        assert _hf_component_class(tok) == "T5Tokenizer"
+        (tok / "tokenizer_config.json").write_text(json.dumps({}))
+        assert _hf_component_class(tok) == "AutoTokenizer"
+
+        enc = tmp_path / "text_encoder"
+        enc.mkdir()
+        (enc / "config.json").write_text(
+            json.dumps({"architectures": ["T5EncoderModel"]})
+        )
+        assert _hf_component_class(enc) == "T5EncoderModel"
+        (enc / "config.json").write_text(json.dumps({}))
+        assert _hf_component_class(enc) == "AutoModel"

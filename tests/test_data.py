@@ -39,6 +39,23 @@ def _write_parquet_dataset(tmp_path, n=32, seed=0):
     return tmp_path
 
 
+class PicklableTagged:
+    """Module-level (hence picklable) dataset for the forkserver path."""
+
+    def __init__(self, tag, n=8):
+        self.tag, self.n = tag, n
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, i):
+        return {"tag": self.tag, "idx": i}
+
+    @staticmethod
+    def collate_fn(items):
+        return items
+
+
 class TestCropMath:
     def test_crop_size_list_square(self):
         sizes = generate_crop_size_list(256, max_ratio=1.0)
@@ -328,6 +345,63 @@ class TestLoaderRobustness:
         monkeypatch.setattr(DataLoader, "_make_pool", boom)
         with pytest.raises(OSError, match="no pipes left"):
             next(iter(dl))
+
+    def test_picklable_dataset_uses_forkserver_not_fork(self):
+        """A picklable dataset must run under the forkserver pool (no
+        fork-with-threads hazard): no _FORK_DATASETS entry is ever
+        created, and items come back correct from the spawned workers."""
+        from f_lite_tpu.data import loader as loader_mod
+
+        before = set(loader_mod._FORK_DATASETS)
+        dl = DataLoader(PicklableTagged("FS", n=8), batch_size=2,
+                        num_workers=2, worker_type="process", prefetch=1)
+        batches = list(dl)
+        assert set(loader_mod._FORK_DATASETS) == before  # fork path unused
+        flat = [x for b in batches for x in b]
+        assert sorted(x["idx"] for x in flat) == list(range(8))
+        assert all(x["tag"] == "FS" for x in flat)
+
+    def test_unguarded_main_script_is_not_reexecuted(self, tmp_path):
+        """Forkserver children must never re-import the user's __main__
+        (spawn.prepare re-runs an unguarded `python script.py` once per
+        worker — verified to crash the pool before _no_main_reimport).
+        The script has NO __main__ guard; its module level appends to a
+        sentinel file, which must end up with exactly one line."""
+        import subprocess
+        import sys as _sys
+
+        sentinel = tmp_path / "ran.txt"
+        script = tmp_path / "train_script.py"
+        script.write_text(
+            "import sys\n"
+            f"open({str(sentinel)!r}, 'a').write('ran\\n')\n"
+            "sys.path.insert(0, {!r})\n".format(
+                str(__import__('pathlib').Path(__file__).parents[1]))
+            + "from tests.test_data import PicklableTagged\n"
+            "from f_lite_tpu.data.loader import DataLoader\n"
+            "dl = DataLoader(PicklableTagged('M', n=6), batch_size=2,\n"
+            "                num_workers=2, worker_type='process')\n"
+            "items = [x for b in dl for x in b]\n"
+            "assert sorted(x['idx'] for x in items) == list(range(6))\n"
+        )
+        r = subprocess.run([_sys.executable, str(script)], timeout=300,
+                           capture_output=True, text=True,
+                           cwd=str(script.parent))
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert sentinel.read_text().count("ran") == 1
+
+    def test_imagedataset_pickles_without_network_clients(self, tmp_path):
+        """ImageDataset must pickle (forkserver contract), dropping its
+        lazy HTTP/S3 clients so workers re-create their own."""
+        import pickle
+
+        root = _write_parquet_dataset(tmp_path)
+        ds = ImageDataset("coll", base_image_dir=str(root), resolution=128,
+                          center_crop=True)
+        ds._session = object()  # simulate a used (unpicklable) session
+        clone = pickle.loads(pickle.dumps(ds))
+        assert clone._session is None and clone._s3 is None
+        assert clone[0]["image"].shape == ds[0]["image"].shape
 
     def test_fork_registry_unregisters_after_iteration(self):
         """Process-worker loaders must drop their registry entry when the

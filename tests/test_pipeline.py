@@ -306,6 +306,23 @@ class TestInpainting:
         m[:, : size // 2] = 255
         return Image.fromarray(m, "L")
 
+    def test_float_mask_out_of_range_raises(self, pipe):
+        """A 0-255-scaled float/int mask must raise, not silently clip
+        every value >= 1 to full repaint (destroying soft blends)."""
+        bad = np.full((16, 16), 128.0, np.float32)  # 0-255 scale as float
+        with pytest.raises(ValueError, match="mask values"):
+            pipe(prompt="x", height=16, width=16, num_inference_steps=2,
+                 seed=0, image=self._img(), strength=1.0, mask_image=bad)
+
+    def test_float_mask_in_unit_range_blends(self, pipe):
+        """Float masks in [0, 1] are the documented soft-blend input."""
+        half = np.zeros((8, 8), np.float32)
+        half[:, :4] = 1.0
+        out = pipe(prompt="x", height=16, width=16, num_inference_steps=2,
+                   seed=0, image=self._img(), strength=1.0,
+                   mask_image=half, return_latents=True)
+        assert np.asarray(out.images).shape[0] == 1
+
     def test_kept_region_pins_input_latents_exactly(self, pipe):
         from f_lite_tpu.models.vae import normalize_latents
 

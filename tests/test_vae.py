@@ -63,6 +63,17 @@ class TestShapes:
 
 
 class TestMemoryModes:
+    def test_resolve_memory_mode(self):
+        """Shared auto heuristic: tiled past 1024px-equivalent latents;
+        explicit modes always pass through."""
+        from f_lite_tpu.models.vae import resolve_memory_mode
+
+        assert resolve_memory_mode("auto", 128) == "direct"
+        assert resolve_memory_mode("auto", 129) == "tiled"
+        for mode in ("direct", "sliced", "tiled"):
+            assert resolve_memory_mode(mode, 4096) == mode
+            assert resolve_memory_mode(mode, 8) == mode
+
     def test_sliced_matches_direct(self):
         vae, params = _init()
         z = jax.random.normal(jax.random.key(5), (3, 8, 8, CFG.latent_channels))

@@ -154,6 +154,29 @@ def _dit_config_from_sd(sd, args, hf_config=None):
     )
 
 
+def _hf_component_class(subdir: Path) -> str:
+    """Concrete transformers class for a copied text_encoder/tokenizer dir.
+
+    diffusers resolves model_index.json entries with
+    getattr(transformers, name).from_pretrained(subdir): a tokenizer dir
+    under "AutoModel" crashes (no weights there), so read the real class —
+    tokenizer_config.json's tokenizer_class (e.g. T5Tokenizer) or model
+    config.json's architectures[0] (e.g. T5EncoderModel) — falling back to
+    the Auto loaders, which both classes of dir support."""
+    import json as _json
+
+    tok_cfg = subdir / "tokenizer_config.json"
+    if tok_cfg.exists():
+        cls = _json.loads(tok_cfg.read_text()).get("tokenizer_class")
+        return cls or "AutoTokenizer"
+    model_cfg = subdir / "config.json"
+    if model_cfg.exists():
+        arch = _json.loads(model_cfg.read_text()).get("architectures") or []
+        if arch:
+            return arch[0]
+    return "AutoTokenizer" if "tokenizer" in subdir.name else "AutoModel"
+
+
 def export_torch(args):
     """Framework checkpoint -> reference-consumable torch/HF formats.
 
@@ -226,7 +249,7 @@ def export_torch(args):
     for sub in ("text_encoder", "tokenizer"):
         if (ck / sub).exists():
             shutil.copytree(ck / sub, out / sub, dirs_exist_ok=True)
-            index[sub] = ["transformers", "AutoModel"]
+            index[sub] = ["transformers", _hf_component_class(out / sub)]
     (out / "model_index.json").write_text(_json.dumps(index, indent=2))
 
     if args.pt_file:
