@@ -79,6 +79,7 @@ def _proc_getitem(idx):
 
 
 _forkserver_started = False
+_FORKSERVER_LOCK = threading.Lock()
 
 _MAIN_SPEC_LOCK = threading.Lock()
 
@@ -107,13 +108,32 @@ def _no_main_reimport():
 
 
 class _ForkserverPool:
-    """ProcessPoolExecutor wrapper applying _no_main_reimport around
-    map(), whose eager per-item submits are where workers get spawned."""
+    """ProcessPoolExecutor wrapper that spawns ALL workers eagerly at
+    construction under _no_main_reimport, so the __spec__ patch is a
+    one-time, loader-startup-bounded event rather than recurring per
+    batch (a recurring patch could race a user's own concurrent spawn
+    of an unrelated Process). map() re-applies the patch only in the
+    rare case the pool is not fully spawned (private pre-spawn API
+    unavailable, or a dead worker being replaced)."""
 
-    def __init__(self, ex):
+    def __init__(self, ex, n_workers):
         self._ex = ex
+        self._n = n_workers
+        with _no_main_reimport():
+            try:
+                # one process per call while none are idle (3.12 executor
+                # spawns lazily, one per submit, via this same method)
+                while len(ex._processes) < n_workers:
+                    before = len(ex._processes)
+                    ex._adjust_process_count()
+                    if len(ex._processes) == before:
+                        break
+            except AttributeError:  # private API changed: lazy spawning
+                pass
 
     def map(self, fn, *iterables):
+        if len(getattr(self._ex, "_processes", ())) >= self._n:
+            return self._ex.map(fn, *iterables)
         with _no_main_reimport():
             return self._ex.map(fn, *iterables)
 
@@ -132,31 +152,36 @@ def _ensure_clean_forkserver():
     re-imported (see _no_main_reimport). The server starts exactly once
     per process; later pools reuse it."""
     global _forkserver_started
-    if _forkserver_started:
-        return
-    import multiprocessing
-    import os
+    with _FORKSERVER_LOCK:  # concurrent loaders: strip/restore once only
+        if _forkserver_started:
+            return
+        import multiprocessing
+        import os
 
-    # ImportError during preload is swallowed by the server (warm-up
-    # only); dataset.py imports numpy+PIL but no jax, keeping the server
-    # thread-free
-    multiprocessing.set_forkserver_preload(["f_lite_tpu.data.dataset"])
-    from multiprocessing import forkserver
+        # ImportError during preload is swallowed by the server (warm-up
+        # only). ONLY this (jax-free: numpy+PIL) module may be preloaded:
+        # importing any f_lite_tpu.* submodule would execute the package
+        # __init__ chain, and if that pulled jax into the server its
+        # at-fork handlers/threads would reintroduce the very
+        # fork-with-threads hazard the forkserver exists to avoid
+        # (test_data.py::test_forkserver_preload_is_jax_free enforces it).
+        multiprocessing.set_forkserver_preload(["f_lite_tpu.data.dataset"])
+        from multiprocessing import forkserver
 
-    saved = {
-        k: os.environ.pop(k, None)
-        for k in ("PALLAS_AXON_POOL_IPS", "JAX_PLATFORMS")
-    }
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    try:
-        forkserver.ensure_running()
-    finally:
-        for k, val in saved.items():
-            if val is None:
-                os.environ.pop(k, None)
-            else:
-                os.environ[k] = val
-    _forkserver_started = True
+        saved = {
+            k: os.environ.pop(k, None)
+            for k in ("PALLAS_AXON_POOL_IPS", "JAX_PLATFORMS")
+        }
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        try:
+            forkserver.ensure_running()
+        finally:
+            for k, val in saved.items():
+                if val is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = val
+        _forkserver_started = True
 
 
 class DataLoader:
@@ -201,7 +226,27 @@ class DataLoader:
             except Exception as e:
                 ds_bytes = None
                 pickle_err = e
+            if ds_bytes is not None and b"__main__" in ds_bytes:
+                # classes defined in the user's script pickle by
+                # reference to __main__ — which forkserver workers never
+                # import (by design, _no_main_reimport), so loads() there
+                # would AttributeError. Fork inherits them via memory.
+                ds_bytes = None
+                pickle_err = (
+                    "dataset references __main__-defined classes; move "
+                    "them into an importable module to use the (safer) "
+                    "forkserver pool"
+                )
             if ds_bytes is not None:
+                if len(ds_bytes) > 64 << 20:
+                    import logging
+
+                    logging.getLogger(__name__).info(
+                        "pickled dataset is %.0f MB; it is re-sent to "
+                        "every process worker at each epoch start "
+                        "(forkserver workers cannot share parent memory "
+                        "copy-on-write)", len(ds_bytes) / 2**20,
+                    )
                 # forkserver: workers fork from a clean thread-free server
                 # (no fork-with-threads / libgomp hazard — module
                 # docstring). Dataset pickled ONCE per pool creation (one
@@ -214,7 +259,8 @@ class DataLoader:
                         ProcessPoolExecutor(self.num_workers,
                                             mp_context=ctx,
                                             initializer=_proc_init,
-                                            initargs=(ds_bytes,))),
+                                            initargs=(ds_bytes,)),
+                        self.num_workers),
                     _proc_getitem,
                     None,
                 )

@@ -169,7 +169,10 @@ def _preprocess_mask(mask, lh: int, lw: int, batch: int):
                 # full repaint and destroy soft blends
                 af = a.astype(np.float32)
                 mn, mx = float(af.min()), float(af.max())
-                if mn < 0.0 or mx > 1.001:
+                # symmetric tolerance: resize/antialias ringing produces
+                # tiny out-of-range values on BOTH sides (clip handles
+                # them); only a clearly 0-255-scaled mask should raise
+                if mn < -0.001 or mx > 1.001:
                     raise ValueError(
                         f"mask values in [{mn:.3g}, {mx:.3g}] — expected "
                         "[0, 1] for float/int masks; pass uint8 (or "

@@ -390,6 +390,72 @@ class TestLoaderRobustness:
         assert r.returncode == 0, r.stderr[-2000:]
         assert sentinel.read_text().count("ran") == 1
 
+    def test_forkserver_prespawns_all_workers(self):
+        """Workers must all exist right after pool construction: spawning
+        is then a one-time startup event under the __spec__ patch, never
+        recurring per batch (where it could race user code's own
+        concurrent Process spawns)."""
+        dl = DataLoader(PicklableTagged("PS", n=4), batch_size=2,
+                        num_workers=3, worker_type="process")
+        pool, getitem, token = dl._make_pool()
+        with pool:
+            assert len(pool._ex._processes) == 3
+            assert list(pool.map(getitem, [0, 1])) == [
+                {"tag": "PS", "idx": 0}, {"tag": "PS", "idx": 1}]
+
+    def test_main_defined_dataset_falls_back_to_fork(self, tmp_path):
+        """A dataset class defined at the top level of the user's script
+        pickles by reference to __main__, which forkserver workers never
+        import — the loader must detect this and fall back to the fork
+        pool (which inherits the class via memory) instead of crashing
+        with BrokenProcessPool."""
+        import subprocess
+        import sys as _sys
+
+        script = tmp_path / "inline_ds.py"
+        script.write_text(
+            "import sys\n"
+            "sys.path.insert(0, {!r})\n".format(
+                str(__import__('pathlib').Path(__file__).parents[1]))
+            + "class InlineDS:\n"
+            "    def __len__(self): return 6\n"
+            "    def __getitem__(self, i): return {'idx': i}\n"
+            "    @staticmethod\n"
+            "    def collate_fn(items): return items\n"
+            "from f_lite_tpu.data.loader import DataLoader\n"
+            "dl = DataLoader(InlineDS(), batch_size=2, num_workers=2,\n"
+            "                worker_type='process')\n"
+            "items = [x for b in dl for x in b]\n"
+            "assert sorted(x['idx'] for x in items) == list(range(6))\n"
+            "print('fallback-ok')\n"
+        )
+        r = subprocess.run([_sys.executable, str(script)], timeout=300,
+                           capture_output=True, text=True,
+                           cwd=str(script.parent))
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "fallback-ok" in r.stdout
+        assert "falling back" not in r.stderr or "__main__" in r.stderr
+
+    def test_forkserver_preload_is_jax_free(self):
+        """The ONLY module the forkserver preloads must import without
+        pulling jax (via the f_lite_tpu package __init__ chain): jax in
+        the server process would reintroduce the fork-with-threads
+        hazard the forkserver exists to avoid."""
+        import subprocess
+        import sys as _sys
+
+        r = subprocess.run(
+            [_sys.executable, "-c",
+             "import sys; import f_lite_tpu.data.dataset; "
+             "sys.exit(1 if 'jax' in sys.modules else 0)"],
+            timeout=120, capture_output=True, text=True,
+            cwd=str(__import__('pathlib').Path(__file__).parents[1]),
+            env={"PATH": "/usr/bin:/bin:/usr/local/bin",
+                 "PYTHONPATH": str(
+                     __import__('pathlib').Path(__file__).parents[1])},
+        )
+        assert r.returncode == 0, (r.stdout, r.stderr[-1000:])
+
     def test_imagedataset_pickles_without_network_clients(self, tmp_path):
         """ImageDataset must pickle (forkserver contract), dropping its
         lazy HTTP/S3 clients so workers re-create their own."""

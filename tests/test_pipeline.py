@@ -315,9 +315,13 @@ class TestInpainting:
                  seed=0, image=self._img(), strength=1.0, mask_image=bad)
 
     def test_float_mask_in_unit_range_blends(self, pipe):
-        """Float masks in [0, 1] are the documented soft-blend input."""
+        """Float masks in [0, 1] are the documented soft-blend input;
+        tiny out-of-range ringing from resize/antialias (both signs) is
+        tolerated and clipped, not rejected."""
         half = np.zeros((8, 8), np.float32)
         half[:, :4] = 1.0
+        half[0, 7] = -1e-6  # antialias undershoot
+        half[7, 0] = 1.0 + 1e-6  # overshoot
         out = pipe(prompt="x", height=16, width=16, num_inference_steps=2,
                    seed=0, image=self._img(), strength=1.0,
                    mask_image=half, return_latents=True)
