@@ -70,12 +70,15 @@ class FLiteNode:
                 "image": ("IMAGE",),
                 "strength": ("FLOAT", {"default": 0.8, "min": 0.05,
                                        "max": 1.0, "step": 0.05}),
+                # "ab2" integrates at second order: ~half the steps for
+                # euler-30 accuracy (see sampling/euler.py)
+                "sampler": (["euler", "ab2"], {"default": "euler"}),
             },
         }
 
     def generate(self, model, prompt, negative_prompt, width, height,
                  steps, guidance_scale, seed, use_apg, vae_tiling,
-                 image=None, strength=0.8):
+                 image=None, strength=0.8, sampler="euler"):
         from f_lite_tpu.ops.guidance import APGConfig
 
         init_images = None
@@ -114,6 +117,7 @@ class FLiteNode:
             output_type="np",
             image=init_images,
             strength=strength,
+            sampler=sampler,
         )
         # ComfyUI IMAGE: torch float tensor (B, H, W, 3) in [0, 1]
         imgs = np.clip(np.asarray(out.images) / 2.0 + 0.5, 0.0, 1.0)

@@ -71,6 +71,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="apply CFG only while the schedule t is inside "
                         "[LO, HI]; other steps run conditional-only at "
                         "half the model cost (limited-interval guidance)")
+    p.add_argument("--sampler", choices=("euler", "ab2"), default="euler",
+                   help="'ab2' = second-order multistep integration at "
+                        "the same per-step cost; reaches euler-30-step "
+                        "accuracy in roughly half the steps")
     return p
 
 
@@ -129,6 +133,7 @@ def generate_images(args) -> list[Path]:
         strength=args.strength,
         mask_image=mask_image,
         guidance_interval=args.guidance_interval,
+        sampler=args.sampler,
     )
     dt = time.perf_counter() - t0
 
@@ -140,6 +145,7 @@ def generate_images(args) -> list[Path]:
         "steps": args.num_inference_steps,
         "guidance_scale": args.guidance_scale,
         "guidance_interval": args.guidance_interval,
+        "sampler": args.sampler,
         "seed": args.seed, "model": args.model,
         "image": args.image,
         "strength": args.strength if args.image else None,
@@ -204,6 +210,7 @@ _PNG_META_ARGS = [
     ("model", "model"), ("image", "image"), ("strength", "strength"),
     ("mask", "mask"), ("apg", "apg"), ("quantize", "quantize"),
     ("lora_path", "lora_path"), ("num_images", "num_images"),
+    ("sampler", "sampler"),
 ]
 
 

@@ -563,6 +563,7 @@ class FLitePipeline:
         strength: float = 0.8,
         mask_image: Any = None,
         guidance_interval: tuple | None = None,
+        sampler: str = "euler",
     ):
         """Generate images. Beyond the reference surface
         (`pipeline.py:188-202`):
@@ -598,6 +599,13 @@ class FLitePipeline:
           forward alone — half the model cost per step (limited-interval
           guidance, Kynkäänniemi et al. 2024; (0.2, 0.8)-style windows
           typically preserve or improve quality). None = CFG everywhere.
+        - `sampler`: "euler" (reference parity, default) or "ab2" —
+          second-order multistep integration (variable-step
+          Adams-Bashforth 2) of the same flow ODE at the same model cost
+          per step. Reaches a given trajectory accuracy in roughly half
+          the steps (see tests/test_sampler.py order-of-convergence
+          test); use it to trade steps for latency, e.g.
+          num_inference_steps=15-20 instead of 30.
         """
         apg = apg_config if (apg_config and apg_config.enabled) else None
 
@@ -637,6 +645,7 @@ class FLitePipeline:
             guidance_interval=(
                 tuple(guidance_interval) if guidance_interval else None
             ),
+            method=sampler,
         )
         rng = (
             seed

@@ -42,6 +42,18 @@ class DenoiseSettings:
     # run the conditional forward alone — half the model cost per step.
     # None = CFG on every step (the reference behavior).
     guidance_interval: tuple | None = None
+    # "euler" (reference parity) or "ab2": variable-step Adams-Bashforth 2
+    # — second-order multistep integration of the SAME flow ODE at the
+    # SAME model cost per step (the velocity history is free). Halving
+    # integration error lets fewer steps reach a given trajectory
+    # accuracy; the first step of a trajectory (no history) is Euler.
+    method: str = "euler"
+
+    def __post_init__(self):
+        if self.method not in ("euler", "ab2"):
+            raise ValueError(
+                f"method must be 'euler' or 'ab2', got {self.method!r}"
+            )
 
 
 def _full_schedule(settings: DenoiseSettings, lh: int, lw: int):
@@ -54,7 +66,7 @@ def _full_schedule(settings: DenoiseSettings, lh: int, lw: int):
 def _denoise_schedule(
     dit_apply, params, latents, prompt_embeds, negative_embeds,
     context_mask, negative_mask, schedule, settings: DenoiseSettings,
-    inpaint=None,
+    inpaint=None, carry_in=None,
 ):
     """Core scan over an explicit (t, t_next) schedule slice.
 
@@ -66,8 +78,18 @@ def _denoise_schedule(
     step's own marginal: z <- m·z + (1-m)·((1-t_next)·x + t_next·ε),
     fresh ε per step (one key per schedule row). The final step has
     t_next == 0, so the kept region lands on x exactly.
+
+    `settings.method == "ab2"` (variable-step Adams-Bashforth 2): the
+    step extrapolates the velocity to the step midpoint from the previous
+    step's velocity, v_mid = v + (h/(2·h_prev))·(v − v_prev) — second
+    order in h at zero extra model cost. `carry_in = (v_prev, h_prev)`
+    threads the history across dispatch chunks (zeros/0 ≡ no history →
+    plain Euler first step); the return value is then
+    `(z_final, (v_last, h_last))` instead of bare z. The scan carry stays
+    z-only for "euler" so the reference-parity program is unchanged.
     """
     b = latents.shape[0]
+    ab2 = settings.method == "ab2"
     do_cfg = settings.guidance_scale >= 1.0
     if do_cfg:
         context = jnp.concatenate([negative_embeds, prompt_embeds], axis=0)
@@ -77,41 +99,83 @@ def _denoise_schedule(
     else:
         context = prompt_embeds
 
-    def step(z, t_pair):
-        t, t_next = t_pair[0], t_pair[1]
-        dt = (t - t_next).astype(jnp.float32)
+    def velocity(z, t):
         if do_cfg:
             z_in = jnp.concatenate([z, z], axis=0)
             t_in = jnp.full((2 * b,), t, z.dtype)
             out = dit_apply(params, z_in, context, context_mask, t_in)
-            v = guidance_combine(
+            return guidance_combine(
                 out[:b], out[b:], settings.guidance_scale, settings.apg
+            ).astype(jnp.float32)
+        t_in = jnp.full((b,), t, z.dtype)
+        return dit_apply(params, z, context, context_mask, t_in).astype(
+            jnp.float32
+        )
+
+    def step(carry, t_pair):
+        z, v_prev, h_prev = carry
+        t, t_next = t_pair[0], t_pair[1]
+        dt = (t - t_next).astype(jnp.float32)
+        v = velocity(z, t)
+        if ab2:
+            # midpoint extrapolation; h_prev == 0 (no history) -> Euler
+            c = jnp.where(
+                h_prev > 0.0, dt / (2.0 * jnp.maximum(h_prev, 1e-20)), 0.0
             )
+            v_eff = v + c * (v - v_prev)
         else:
-            t_in = jnp.full((b,), t, z.dtype)
-            v = dit_apply(params, z, context, context_mask, t_in)
-        return z + dt * v.astype(jnp.float32), None
+            v_eff = v
+        return (z + dt * v_eff, v, dt), None
+
+    if ab2:
+        v0, h0 = carry_in if carry_in is not None else (
+            jnp.zeros_like(latents, jnp.float32), jnp.float32(0.0)
+        )
+        v0 = v0.astype(jnp.float32)
+        h0 = jnp.asarray(h0, jnp.float32)
+    else:
+        # z-only carry: wrap/unwrap so the compiled euler program is
+        # byte-identical to the historical one
+        v0 = h0 = None
+
+    def scan(body, z0, xs):
+        if ab2:
+            (z, v, h), _ = jax.lax.scan(body, (z0, v0, h0), xs)
+            return z, (v, h)
+        (z, _, _), _ = jax.lax.scan(
+            lambda c, x: (
+                (body((c[0], None, None), x)[0][0], None, None), None
+            ),
+            (z0, None, None), xs,
+        )
+        return z, None
 
     z0 = latents.astype(jnp.float32)
     if inpaint is None:
-        z_final, _ = jax.lax.scan(step, z0, schedule)
-        return z_final
+        z_final, carry_out = scan(step, z0, schedule)
+        return (z_final, carry_out) if ab2 else z_final
 
     x_lat, m, keys = inpaint  # (B,h,w,C) fp32, (B,h,w,1) fp32, (N,) keys
 
-    def step_inpaint(z, xs):
+    def step_inpaint(carry, xs):
         t_pair, k = xs
-        z_new, _ = step(z, t_pair)
+        (z_new, v, h), _ = step(carry, t_pair)
+        z = carry[0]
         t_next = t_pair[1].astype(jnp.float32)
         eps = jax.random.normal(k, x_lat.shape, jnp.float32)
         known = (1.0 - t_next) * x_lat + t_next * eps
         mixed = m * z_new + (1.0 - m) * known
         # defensive: any zero-dt row (t == t_next) must be a FULL no-op —
-        # re-mixing is not idempotent for soft mask values (m^2 != m)
-        return jnp.where(t_pair[0] > t_pair[1], mixed, z), None
+        # re-mixing is not idempotent for soft mask values (m^2 != m),
+        # and the velocity history must not absorb a zero-h sample
+        pos = t_pair[0] > t_pair[1]
+        if ab2:
+            v = jnp.where(pos, v, carry[1])
+            h = jnp.where(pos, h, carry[2])
+        return (jnp.where(pos, mixed, z), v, h), None
 
-    z_final, _ = jax.lax.scan(step_inpaint, z0, (schedule, keys))
-    return z_final
+    z_final, carry_out = scan(step_inpaint, z0, (schedule, keys))
+    return (z_final, carry_out) if ab2 else z_final
 
 
 def _interval_segments(settings: DenoiseSettings, schedule) -> list:
@@ -161,11 +225,15 @@ def denoise(
                                 guidance_interval=None)
     z = latents
     for s, e, use_cfg in _interval_segments(settings, schedule):
-        z = _denoise_schedule(
+        # ab2 history resets at each segment boundary (carry_in=None):
+        # the cfg<->nocfg switch changes the integrated velocity field
+        # discontinuously, so extrapolating across it would be wrong
+        out = _denoise_schedule(
             dit_apply, params, z, prompt_embeds, negative_embeds,
             context_mask, negative_mask, schedule[s:e],
             settings if use_cfg else nocfg,
         )
+        z = out[0] if settings.method == "ab2" else out
     return z.astype(latents.dtype)
 
 
@@ -253,7 +321,27 @@ def make_denoise_fn(
     All one-time, served by the persistent compilation cache.
     """
 
+    is_ab2 = settings.method == "ab2"
+
     def make_runner(s):
+        if s.method == "ab2":
+            # extra traced (v_prev, h_prev) in, (z, v_last, h_last) out —
+            # the velocity history crosses dispatch-chunk boundaries;
+            # v_prev is donated (each chunk's output v replaces it)
+            return jax.jit(
+                lambda params, z, pos, neg, mask, nmask, schedule, x_lat, \
+                    m, keys, v_prev, h_prev: (
+                    lambda r: (r[0], r[1][0], r[1][1])
+                )(
+                    _denoise_schedule(
+                        dit_apply, params, z, pos, neg, mask, nmask,
+                        schedule, s,
+                        inpaint=None if x_lat is None else (x_lat, m, keys),
+                        carry_in=(v_prev, h_prev),
+                    )
+                ),
+                donate_argnums=(1, 10),
+            )
         return jax.jit(
             lambda params, z, pos, neg, mask, nmask, schedule, x_lat, m, \
                 keys: (
@@ -315,11 +403,25 @@ def make_denoise_fn(
             rn = runner if (use_cfg or runner_nocfg is None) \
                 else runner_nocfg
             for cs in range(s, e, k):
-                windows.append((cs, min(cs + k, e), rn))
-        for s, e, rn in windows:
-            z = rn(params, z, prompt_embeds, negative_embeds,
-                   context_mask, neg_mask, schedule[s:e],
-                   x_lat, m, keys[s:e] if keys is not None else None)
+                # last element: does this window START a segment (ab2
+                # velocity history resets there — the cfg<->nocfg switch
+                # changes the integrated field discontinuously)
+                windows.append((cs, min(cs + k, e), rn, cs == s))
+        v_prev = h_prev = None
+        for s, e, rn, seg_start in windows:
+            kslice = keys[s:e] if keys is not None else None
+            if is_ab2:
+                if seg_start or v_prev is None:
+                    v_prev = jnp.zeros_like(z)
+                    h_prev = jnp.float32(0.0)
+                z, v_prev, h_prev = rn(
+                    params, z, prompt_embeds, negative_embeds,
+                    context_mask, neg_mask, schedule[s:e],
+                    x_lat, m, kslice, v_prev, h_prev)
+            else:
+                z = rn(params, z, prompt_embeds, negative_embeds,
+                       context_mask, neg_mask, schedule[s:e],
+                       x_lat, m, kslice)
             if callback is not None and callback(e, n):
                 break
         return z.astype(out_dtype)

@@ -62,6 +62,16 @@ class TestPipeline:
         c = pipe(**{**kw, "seed": 6}).images
         assert not np.array_equal(a, c)
 
+    def test_sampler_ab2(self, pipe):
+        """sampler="ab2" runs end-to-end and integrates differently from
+        euler (order-of-convergence proof: tests/test_sampler.py)."""
+        kw = dict(prompt="x", height=16, width=16, num_inference_steps=3,
+                  seed=4, output_type="np")
+        e = pipe(**kw).images
+        a = pipe(**kw, sampler="ab2").images
+        assert np.asarray(a).shape == np.asarray(e).shape
+        assert not np.array_equal(a, e)
+
     def test_negative_prompt_changes_output(self, pipe):
         kw = dict(prompt="x", height=16, width=16, num_inference_steps=2,
                   seed=3, output_type="np")

@@ -291,3 +291,152 @@ class TestAutoStepsPerDispatch:
         assert auto_steps_per_dispatch(1, 30, 256 * 256) == 8
         # tiny workloads: never chunk
         assert auto_steps_per_dispatch(4, 50, 16 * 16) is None
+
+
+class TestMultistep:
+    """AB2 (variable-step Adams-Bashforth 2) sampler: same model cost per
+    step, second-order integration of the same flow ODE."""
+
+    def _python_ab2_oracle(self, model, params, latents, pos, neg, mask,
+                           steps, g):
+        """Direct python-loop transcription of variable-step AB2 with
+        midpoint extrapolation; first step Euler (no history)."""
+        b = latents.shape[0]
+        alpha = resolution_alpha(latents.shape[1] * latents.shape[2])
+        z = latents.astype(jnp.float32)
+        v_prev, h_prev = None, None
+        for i in range(steps, 0, -1):
+            t = shift_t(i / steps, alpha)
+            t_next = shift_t((i - 1) / steps, alpha)
+            dt = jnp.float32(t - t_next)
+            z_in = jnp.concatenate([z, z], 0)
+            ctx = jnp.concatenate([neg, pos], 0)
+            m = jnp.concatenate([mask, mask], 0)
+            t_in = jnp.full((2 * b,), t, jnp.float32)
+            out = model.apply(params, z_in, ctx, m, t_in)
+            v = guidance_combine(out[:b], out[b:], g, None).astype(
+                jnp.float32)
+            if v_prev is None:
+                v_eff = v
+            else:
+                v_eff = v + (dt / (2.0 * h_prev)) * (v - v_prev)
+            z = z + dt * v_eff
+            v_prev, h_prev = v, dt
+        return z
+
+    def test_ab2_matches_python_oracle(self):
+        model, params, latents, pos, neg, mask = _setup(11)
+        settings = DenoiseSettings(num_inference_steps=4,
+                                   guidance_scale=6.0, method="ab2")
+        got = denoise(model.apply, params, latents, pos, neg, mask,
+                      settings)
+        want = self._python_ab2_oracle(model, params, latents, pos, neg,
+                                       mask, 4, 6.0)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
+        )
+
+    def test_one_step_ab2_equals_euler(self):
+        model, params, latents, pos, neg, mask = _setup(12)
+        kw = dict(num_inference_steps=1, guidance_scale=6.0)
+        e = denoise(model.apply, params, latents, pos, neg, mask,
+                    DenoiseSettings(**kw))
+        a = denoise(model.apply, params, latents, pos, neg, mask,
+                    DenoiseSettings(method="ab2", **kw))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e), atol=1e-6)
+
+    def test_second_order_convergence(self):
+        """On a smooth synthetic velocity field (a chaotic random-net
+        field has no resolvable asymptotic regime at 8-16 steps), AB2
+        must (a) beat Euler at equal steps and (b) show ~O(h^2) error
+        decay where Euler shows ~O(h). Any callable works as dit_apply —
+        denoise() only calls it."""
+
+        def smooth_v(params, z, context, mask, t):
+            tt = t.reshape((-1,) + (1,) * (z.ndim - 1))[: z.shape[0]]
+            return (-z * (1.0 + 0.5 * jnp.sin(3.0 * tt))
+                    + 0.3 * jnp.tanh(z) + 0.2 * jnp.cos(5.0 * tt))
+
+        latents = jax.random.normal(jax.random.key(21), (2, 16, 16, 4))
+        pos = jnp.zeros((2, 8, 32))
+        neg = jnp.zeros_like(pos)
+        mask = jnp.ones((2, 8), jnp.bool_)
+
+        def run(method, steps):
+            s = DenoiseSettings(num_inference_steps=steps,
+                                guidance_scale=6.0, method=method)
+            return np.asarray(
+                denoise(smooth_v, None, latents, pos, neg, mask, s)
+            ).astype(np.float64)
+
+        truth = run("euler", 2048)
+        err = {
+            (m, n): np.sqrt(np.mean((run(m, n) - truth) ** 2))
+            for m in ("euler", "ab2") for n in (8, 16)
+        }
+        # equal-step accuracy: ab2 at least 2x closer to the true solution
+        assert err[("ab2", 16)] < 0.5 * err[("euler", 16)], err
+        assert err[("ab2", 8)] < 0.5 * err[("euler", 8)], err
+        # order: halving h cuts ab2 error ~4x (allow margin), euler ~2x
+        ab2_ratio = err[("ab2", 8)] / err[("ab2", 16)]
+        euler_ratio = err[("euler", 8)] / err[("euler", 16)]
+        assert ab2_ratio > 2.8, (ab2_ratio, err)
+        assert euler_ratio < 2.8, (euler_ratio, err)
+
+    def test_chunked_matches_single_dispatch(self):
+        """The velocity history must thread exactly across dispatch-chunk
+        boundaries."""
+        model, params, latents, pos, neg, mask = _setup(14)
+        settings = DenoiseSettings(num_inference_steps=7,
+                                   guidance_scale=6.0, method="ab2")
+        one = make_denoise_fn(model.apply, settings, donate=False)(
+            params, latents, pos, neg, mask
+        )
+        for k in (1, 3, 5):
+            chunked = make_denoise_fn(
+                model.apply, settings, donate=False, steps_per_dispatch=k
+            )(params, latents, pos, neg, mask)
+            np.testing.assert_allclose(
+                np.asarray(chunked), np.asarray(one), atol=1e-5, rtol=1e-5,
+                err_msg=f"steps_per_dispatch={k}",
+            )
+
+    def test_guidance_interval_resets_history(self):
+        """With limited-interval guidance the cfg<->nocfg switch resets
+        the AB2 history: chunked fn and segment-looped denoise() must
+        agree (both reset at segment starts)."""
+        model, params, latents, pos, neg, mask = _setup(15)
+        settings = DenoiseSettings(
+            num_inference_steps=6, guidance_scale=6.0, method="ab2",
+            guidance_interval=(0.35, 0.85),
+        )
+        want = denoise(model.apply, params, latents, pos, neg, mask,
+                       settings)
+        for k in (None, 2):
+            got = make_denoise_fn(
+                model.apply, settings, donate=False, steps_per_dispatch=k
+            )(params, latents, pos, neg, mask)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5,
+                err_msg=f"steps_per_dispatch={k}",
+            )
+
+    def test_euler_program_unchanged(self):
+        """method='euler' must produce the identical result it always
+        has (the z-only scan carry is preserved)."""
+        model, params, latents, pos, neg, mask = _setup(16)
+        settings = DenoiseSettings(num_inference_steps=4,
+                                   guidance_scale=6.0)
+        got = denoise(model.apply, params, latents, pos, neg, mask,
+                      settings)
+        want = _python_loop_oracle(model, params, latents, pos, neg, mask,
+                                   4, 6.0)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5
+        )
+
+    def test_bad_method_raises(self):
+        import pytest
+
+        with pytest.raises(ValueError, match="method"):
+            DenoiseSettings(method="heun")
