@@ -70,8 +70,9 @@ class FLiteNode:
                 "image": ("IMAGE",),
                 "strength": ("FLOAT", {"default": 0.8, "min": 0.05,
                                        "max": 1.0, "step": 0.05}),
-                # "ab2" integrates at second order: ~half the steps for
-                # euler-30 accuracy (see sampling/euler.py)
+                # "ab2" integrates at second order at the same per-step
+                # cost (see sampling/euler.py; validate step-count
+                # savings on your checkpoint)
                 "sampler": (["euler", "ab2"], {"default": "euler"}),
             },
         }

@@ -73,8 +73,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "half the model cost (limited-interval guidance)")
     p.add_argument("--sampler", choices=("euler", "ab2"), default="euler",
                    help="'ab2' = second-order multistep integration at "
-                        "the same per-step cost; reaches euler-30-step "
-                        "accuracy in roughly half the steps")
+                        "the same per-step cost (step-count saving "
+                        "depends on the trained field's smoothness — "
+                        "see PERF.md 'ab2 sampler')")
     return p
 
 

@@ -602,10 +602,12 @@ class FLitePipeline:
         - `sampler`: "euler" (reference parity, default) or "ab2" —
           second-order multistep integration (variable-step
           Adams-Bashforth 2) of the same flow ODE at the same model cost
-          per step. Reaches a given trajectory accuracy in roughly half
-          the steps (see tests/test_sampler.py order-of-convergence
-          test); use it to trade steps for latency, e.g.
-          num_inference_steps=15-20 instead of 30.
+          per step. O(h^2) convergence is proven on smooth fields
+          (tests/test_sampler.py); how much that lets you cut steps
+          depends on the smoothness of the trained model's velocity
+          field — measure on your checkpoint before lowering
+          num_inference_steps (random-weight fields show no benefit:
+          PERF.md "ab2 sampler", tools/sampler_order_audit.py).
         """
         apg = apg_config if (apg_config and apg_config.enabled) else None
 

@@ -44,9 +44,11 @@ class DenoiseSettings:
     guidance_interval: tuple | None = None
     # "euler" (reference parity) or "ab2": variable-step Adams-Bashforth 2
     # — second-order multistep integration of the SAME flow ODE at the
-    # SAME model cost per step (the velocity history is free). Halving
-    # integration error lets fewer steps reach a given trajectory
-    # accuracy; the first step of a trajectory (no history) is Euler.
+    # SAME model cost per step (the velocity history is free); the first
+    # step of a trajectory (no history) is Euler. O(h^2) needs a smooth
+    # velocity field: proven in tests on synthetic fields, while random-
+    # WEIGHT fields measure too rough to benefit (SAMPLER_AB2.json) —
+    # validate the step-count saving on your trained checkpoint.
     method: str = "euler"
 
     def __post_init__(self):

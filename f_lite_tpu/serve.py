@@ -58,8 +58,9 @@ def parse_args(argv=None):
                         "single dispatch")
     p.add_argument("--sampler", choices=("euler", "ab2"), default="euler",
                    help="'ab2' = second-order multistep integration at "
-                        "the same per-step cost; reaches euler-30-step "
-                        "accuracy in roughly half the steps")
+                        "the same per-step cost (step-count saving "
+                        "depends on the trained field's smoothness — "
+                        "see PERF.md 'ab2 sampler')")
     return p.parse_args(argv)
 
 
