@@ -46,6 +46,8 @@ class FLiteNode:
 
     @classmethod
     def INPUT_TYPES(cls):
+        from f_lite_tpu.sampling.euler import SAMPLERS
+
         return {
             "required": {
                 "model": (MODEL_CHOICES, {"default": MODEL_CHOICES[0]}),
@@ -73,7 +75,7 @@ class FLiteNode:
                 # "ab2" integrates at second order at the same per-step
                 # cost (see sampling/euler.py; validate step-count
                 # savings on your checkpoint)
-                "sampler": (["euler", "ab2"], {"default": "euler"}),
+                "sampler": (list(SAMPLERS), {"default": "euler"}),
             },
         }
 

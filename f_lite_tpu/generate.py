@@ -71,7 +71,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="apply CFG only while the schedule t is inside "
                         "[LO, HI]; other steps run conditional-only at "
                         "half the model cost (limited-interval guidance)")
-    p.add_argument("--sampler", choices=("euler", "ab2"), default="euler",
+    from f_lite_tpu.sampling.euler import SAMPLERS
+
+    p.add_argument("--sampler", choices=SAMPLERS, default="euler",
                    help="'ab2' = second-order multistep integration at "
                         "the same per-step cost (step-count saving "
                         "depends on the trained field's smoothness — "

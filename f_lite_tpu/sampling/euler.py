@@ -28,6 +28,10 @@ import jax.numpy as jnp
 from f_lite_tpu.ops.guidance import APGConfig, guidance_combine
 from f_lite_tpu.ops.timesteps import euler_timestep_pairs, resolution_alpha
 
+# valid `DenoiseSettings.method` values — the single source for the CLI
+# choices (generate/serve) and the ComfyUI combo input
+SAMPLERS = ("euler", "ab2")
+
 
 @dataclasses.dataclass(frozen=True)
 class DenoiseSettings:
@@ -52,9 +56,9 @@ class DenoiseSettings:
     method: str = "euler"
 
     def __post_init__(self):
-        if self.method not in ("euler", "ab2"):
+        if self.method not in SAMPLERS:
             raise ValueError(
-                f"method must be 'euler' or 'ab2', got {self.method!r}"
+                f"method must be one of {SAMPLERS}, got {self.method!r}"
             )
 
 
@@ -161,6 +165,14 @@ def _denoise_schedule(
 
     def step_inpaint(carry, xs):
         t_pair, k = xs
+        if ab2:
+            # inpainting re-imposes FRESH noise on the kept region every
+            # step — an O(1) state discontinuity per step, not an O(h)
+            # flow increment — so the multistep extrapolation would
+            # amplify the model's response to that jump. Pin the history
+            # empty (h_prev = 0): every masked step takes the plain
+            # Euler update (ab2+mask == euler+mask by construction).
+            carry = (carry[0], carry[1], jnp.float32(0.0))
         (z_new, v, h), _ = step(carry, t_pair)
         z = carry[0]
         t_next = t_pair[1].astype(jnp.float32)
@@ -413,7 +425,7 @@ def make_denoise_fn(
         for s, e, rn, seg_start in windows:
             kslice = keys[s:e] if keys is not None else None
             if is_ab2:
-                if seg_start or v_prev is None:
+                if seg_start:  # first window of every segment
                     v_prev = jnp.zeros_like(z)
                     h_prev = jnp.float32(0.0)
                 z, v_prev, h_prev = rn(

@@ -56,7 +56,9 @@ def parse_args(argv=None):
                         "at most N steps; default auto-bounds dispatch "
                         "wall time (long-dispatch watchdogs), 0 forces a "
                         "single dispatch")
-    p.add_argument("--sampler", choices=("euler", "ab2"), default="euler",
+    from f_lite_tpu.sampling.euler import SAMPLERS
+
+    p.add_argument("--sampler", choices=SAMPLERS, default="euler",
                    help="'ab2' = second-order multistep integration at "
                         "the same per-step cost (step-count saving "
                         "depends on the trained field's smoothness — "
@@ -175,6 +177,7 @@ def main(argv=None):
                 "steps": args.steps,
                 "guidance_scale": args.guidance_scale,
                 "guidance_interval": args.guidance_interval,
+                "sampler": args.sampler,
                 "model": args.model,
                 "quantize": args.quantize or None,
                 # one seed draws the whole batch: exact reproduction

@@ -440,3 +440,55 @@ class TestMultistep:
 
         with pytest.raises(ValueError, match="method"):
             DenoiseSettings(method="heun")
+
+    def test_euler_scan_carry_is_z_only(self):
+        """Pin the 'euler program unchanged' claim STRUCTURALLY (an
+        output comparison would also pass for a recompiled-but-close
+        program): the euler denoise scan carries exactly one array (z);
+        ab2 carries three (z, v_prev, h_prev)."""
+        from f_lite_tpu.sampling.euler import (
+            _denoise_schedule,
+            _full_schedule,
+        )
+
+        model, params, latents, pos, neg, mask = _setup(17)
+
+        def carry_count(method):
+            s = DenoiseSettings(num_inference_steps=3, guidance_scale=6.0,
+                                method=method)
+            schedule = _full_schedule(s, 16, 16)
+
+            def f(z):
+                out = _denoise_schedule(model.apply, params, z, pos, neg,
+                                        mask, None, schedule, s)
+                return out[0] if method == "ab2" else out
+
+            jaxpr = jax.make_jaxpr(f)(latents)
+            for eqn in jaxpr.eqns:
+                if eqn.primitive.name == "scan":
+                    return eqn.params["num_carry"]
+            raise AssertionError("no scan equation found")
+
+        assert carry_count("euler") == 1
+        assert carry_count("ab2") == 3
+
+    def test_ab2_inpaint_falls_back_to_euler(self):
+        """Inpainting re-imposes fresh noise every step — an O(1) state
+        discontinuity — so ab2 pins its history empty under a mask and
+        must match euler+mask exactly."""
+        model, params, latents, pos, neg, mask = _setup(18)
+        x_lat = jax.random.normal(jax.random.key(31), latents.shape)
+        m = (jax.random.uniform(jax.random.key(32),
+                                latents.shape[:3] + (1,))
+             > 0.5).astype(jnp.float32)
+
+        def run(method):
+            s = DenoiseSettings(num_inference_steps=4, guidance_scale=6.0,
+                                method=method)
+            fn = make_denoise_fn(model.apply, s, donate=False)
+            return np.asarray(fn(
+                params, latents, pos, neg, mask,
+                inpaint=(x_lat, m, jax.random.key(33)),
+            ))
+
+        np.testing.assert_allclose(run("ab2"), run("euler"), atol=1e-6)
