@@ -356,7 +356,10 @@ class TestLoaderRobustness:
         dl = DataLoader(PicklableTagged("FS", n=8), batch_size=2,
                         num_workers=2, worker_type="process", prefetch=1)
         batches = list(dl)
-        assert set(loader_mod._FORK_DATASETS) == before  # fork path unused
+        # no NEW registry entries (subset, not equality: an earlier
+        # fork-fallback test's producer thread may unregister its token
+        # asynchronously during this test)
+        assert set(loader_mod._FORK_DATASETS) <= before  # fork path unused
         flat = [x for b in batches for x in b]
         assert sorted(x["idx"] for x in flat) == list(range(8))
         assert all(x["tag"] == "FS" for x in flat)
