@@ -156,7 +156,8 @@ def build_app(model_path: str, output_dir: str = "outputs",
 
     def generate(prompt, negative, prefix, suffix, preset, steps, guidance,
                  use_apg, apg_threshold, seed, lock_seed, forever,
-                 use_superprompt, init_image=None, strength=0.8):
+                 use_superprompt, init_image=None, strength=0.8,
+                 sampler="euler"):
         controller.reset()
         pipe = get_pipeline(model_path)
         width, height = PRESET_RESOLUTIONS[preset]
@@ -182,6 +183,7 @@ def build_app(model_path: str, output_dir: str = "outputs",
                 callback=lambda done, total: controller.should_stop,
                 image=init_image,
                 strength=float(strength),
+                sampler=sampler,
             )
             img = out.images[0]
             path = dated_output_path(output_dir)
@@ -194,6 +196,7 @@ def build_app(model_path: str, output_dir: str = "outputs",
                 "apg": bool(use_apg) or None,
                 "strength": float(strength) if init_image is not None
                 else None,
+                "sampler": sampler,
                 "model": model_path,
             })
             images.append(img)
@@ -226,6 +229,11 @@ def build_app(model_path: str, output_dir: str = "outputs",
                 use_superprompt = gr.Checkbox(
                     label="SuperPrompt enhance", value=False
                 )
+                from f_lite_tpu.sampling.euler import SAMPLERS
+
+                sampler = gr.Dropdown(
+                    list(SAMPLERS), label="Sampler", value="euler",
+                )
                 with gr.Accordion("Image to image", open=False):
                     init_image = gr.Image(
                         label="Input image (optional)", type="pil",
@@ -243,7 +251,7 @@ def build_app(model_path: str, output_dir: str = "outputs",
             generate,
             [prompt, negative, prefix, suffix, preset, steps, guidance,
              use_apg, apg_threshold, seed, lock_seed, forever,
-             use_superprompt, init_image, strength],
+             use_superprompt, init_image, strength, sampler],
             [gallery, last_path, used_seed],
         )
         stop.click(lambda: controller.request_stop(), [], [])

@@ -52,3 +52,6 @@ done 2>&1 | tee "$LOG/sweep.log"
 
 echo "== 4. headline bench =="
 timeout 3600 python bench.py 2>&1 | tee "$LOG/bench.log" | tail -2
+
+echo "== 5. (optional) sampler order audit — refresh SAMPLER_AB2.json =="
+echo "   run manually: python tools/sampler_order_audit.py (~10 min)"
