@@ -441,6 +441,31 @@ def _flash_attention(q, k, v, kv_lens, scale, block_q, block_k,
     return out
 
 
+def _bwd_default_bq(lq: int, d: int) -> int:
+    """Default backward q block for bf16 inputs.
+
+    Stream-budget cap for wide heads, kept 128-aligned (Mosaic rejects
+    unaligned sublane dims), then the candidate that minimizes padded
+    rows: bq=2048 is fastest where it tiles cleanly (the sweep shapes
+    4096/16384 — PERF.md round 3), but at e.g. lq=2560 it would pad to
+    4096 (+60% rows through both kernel grids) where bq=512 pads zero —
+    padding waste dominates block-size economy. F_LITE_FLASH_MAX_BWD_BQ
+    is the same scoped-vmem escape hatch as the forward's
+    F_LITE_FLASH_MAX_BQ: accounting is program-context dependent, and
+    (2048, 256) sits near the 16 MB ceiling — a differently-fused
+    training program can push it over with no other recourse
+    (default-block callers only)."""
+    bq_max = max(512, min(2048,
+                          (2048 * 256 // _round_up(d, _LANES))
+                          // 128 * 128))
+    cands = [b for b in (2048, 1024, 512) if b <= bq_max] or [bq_max]
+    bq = min(cands, key=lambda b: (_round_up(lq, b), -b))
+    cap = int(os.environ.get("F_LITE_FLASH_MAX_BWD_BQ", "0"))
+    if cap:
+        bq = min(bq, max(512, cap))
+    return bq
+
+
 def _flash_fwd_vjp(q, k, v, kv_lens, scale, block_q, block_k,
                    bwd_block_q, bwd_block_k, interpret):
     # the lse output adds (bq, 128) fp32 VMEM per buffer: clamp the very
@@ -470,11 +495,10 @@ def _flash_bwd_vjp(scale, block_q, block_k, bwd_block_q, bwd_block_k,
     # every dtype-sized stream (parity/audit paths only), so they keep
     # the safe (512, 256); wide heads (d_p > 256) scale bq down to hold
     # the q/do/lse/di stream budget constant.
-    if bwd_block_q is not None:
+    if bwd_block_q:  # 0/None = default, like bwd_block_k
         block_q = bwd_block_q
     elif q.dtype == jnp.bfloat16:
-        d_p = _round_up(q.shape[-1], _LANES)
-        block_q = max(512, min(2048, 2048 * 256 // d_p))
+        block_q = _bwd_default_bq(q.shape[2], q.shape[-1])
     else:
         block_q = 512
     block_k = bwd_block_k or 256

@@ -166,6 +166,46 @@ class TestFlashBackward:
                 np.asarray(a), np.asarray(b_), atol=1e-3, rtol=1e-3
             )
 
+    def test_bwd_default_bq_selection(self, monkeypatch):
+        """Default backward q block: padding-aware (bq=2048 only where it
+        tiles cleanly), 128-aligned for wide heads, env-cappable, and
+        bwd_block_q=0 means default (not a crash)."""
+        from f_lite_tpu.ops.pallas.flash_attention import _bwd_default_bq
+
+        # sweep shapes tile cleanly -> the measured-fastest 2048
+        assert _bwd_default_bq(4096, 256) == 2048
+        assert _bwd_default_bq(16384, 256) == 2048
+        # lq=2560: 2048 would pad to 4096 (+60%); 512 pads zero
+        assert _bwd_default_bq(2560, 256) == 512
+        assert _bwd_default_bq(3072, 256) == 1024
+        # wide heads: scaled-down budget stays 128-aligned and >= 512
+        for d in (384, 512, 640, 768, 896):
+            bq = _bwd_default_bq(4096, d)
+            assert bq % 128 == 0 and bq >= 512, (d, bq)
+        # scoped-vmem escape hatch
+        monkeypatch.setenv("F_LITE_FLASH_MAX_BWD_BQ", "512")
+        assert _bwd_default_bq(4096, 256) == 512
+
+    def test_grads_bwd_block_zero_means_default(self):
+        """bwd_block_q=0 selects the default (parity with bwd_block_k=0),
+        instead of a ZeroDivisionError in the pad math."""
+        b, h, l, d = 1, 2, 512, 64
+        q, k, v = _qkv(b, h, l, l, d, seed=23)
+
+        def loss(q, k, v):
+            return jnp.sum(fa(q, k, v, block_q=256, block_k=256,
+                              bwd_block_q=0, bwd_block_k=0) ** 2)
+
+        def loss_xla(q, k, v):
+            return jnp.sum(attention_xla(q, k, v) ** 2)
+
+        g1 = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=1e-3, rtol=1e-3
+            )
+
     def test_grads_bf16(self):
         b, h, l, d = 1, 2, 256, 128
         q, k, v = _qkv(b, h, l, l, d, dtype=jnp.bfloat16, seed=9)
