@@ -368,3 +368,47 @@ def convert_vae_state_dict(
     dec["conv_out"] = _conv(sd, "decoder.conv_out")
 
     return {"params": {"encoder": enc, "decoder": dec}}
+
+
+def load_hf_weights(path):
+    """Every weight in an HF model dir as a flat {name: numpy} dict.
+
+    Order of preference: model.safetensors.index.json shards ->
+    model.safetensors -> any *.safetensors shards -> pytorch_model*.bin
+    (NEVER a bare *.bin glob: Trainer dirs contain training_args.bin, a
+    pickled non-tensor object that crashes torch.load). The single
+    loader shared by the T5 and Qwen2 towers — their copies had already
+    diverged on exactly these rules."""
+    import json
+    from pathlib import Path
+
+    path = Path(path)
+    idx = path / "model.safetensors.index.json"
+    if idx.exists():
+        from safetensors.numpy import load_file
+
+        sd = {}
+        for f in sorted(set(
+            json.loads(idx.read_text())["weight_map"].values()
+        )):
+            sd.update(load_file(str(path / f)))
+        return sd
+    single = path / "model.safetensors"
+    if single.exists():
+        from safetensors.numpy import load_file
+
+        return dict(load_file(str(single)))
+    st_files = sorted(path.glob("*.safetensors"))
+    if st_files:
+        from safetensors.numpy import load_file
+
+        sd = {}
+        for f in st_files:
+            sd.update(load_file(str(f)))
+        return sd
+    sd = {}
+    for f in sorted(path.glob("pytorch_model*.bin")):
+        sd.update(load_torch_state_dict(f))
+    if not sd:
+        raise FileNotFoundError(f"no weights under {path}")
+    return sd

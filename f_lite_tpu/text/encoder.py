@@ -82,7 +82,8 @@ class T5TextEncoder:
             model_path, return_index=return_index,
             dtype=dtype or jnp.bfloat16,
         )
-        self.return_index = return_index
+        # NOTE: the index is baked into the loaded module; unlike
+        # TorchTextEncoder there is no mutable per-call attribute
         self.max_sequence_length = max_sequence_length
         self.pad_to_multiple_of = pad_to_multiple_of
         self.embed_dim = cfg.d_model

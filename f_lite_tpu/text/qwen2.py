@@ -307,33 +307,6 @@ class Qwen2TextEncoder:
 
 
 def _load_any_weights(path):
-    from pathlib import Path
+    from f_lite_tpu.convert.torch_to_jax import load_hf_weights
 
-    from f_lite_tpu.convert.torch_to_jax import load_torch_state_dict
-
-    path = Path(path)
-    import json
-
-    idx = path / "model.safetensors.index.json"
-    if idx.exists():
-        from safetensors.numpy import load_file
-
-        files = sorted(set(
-            json.loads(idx.read_text())["weight_map"].values()
-        ))
-        sd = {}
-        for f in files:
-            sd.update(load_file(str(path / f)))
-        return sd
-    single = path / "model.safetensors"
-    if single.exists():
-        from safetensors.numpy import load_file
-
-        return dict(load_file(str(single)))
-    bins = sorted(path.glob("pytorch_model*.bin"))
-    sd = {}
-    for f in bins:
-        sd.update(load_torch_state_dict(f))
-    if not sd:
-        raise FileNotFoundError(f"no weights under {path}")
-    return sd
+    return load_hf_weights(path)

@@ -59,10 +59,14 @@ class T5Config:
     @property
     def act_fn(self):
         act = self.feed_forward_proj.removeprefix("gated-")
+        if self.is_gated and act == "gelu":
+            # HF remaps ONLY the "gated-gelu" spelling to gelu_new (tanh
+            # approximation) — T5Config.__init__; plain "gelu" stays the
+            # exact erf GELU (ACT2FN["gelu"] = GELUActivation)
+            act = "gelu_new"
         return {
             "relu": nn.relu,
-            # HF maps "gelu" in T5 FF to gelu_new (tanh approximation)
-            "gelu": lambda x: nn.gelu(x, approximate=True),
+            "gelu": lambda x: nn.gelu(x, approximate=False),
             "gelu_new": lambda x: nn.gelu(x, approximate=True),
             "silu": nn.silu,
         }[act]
@@ -87,11 +91,6 @@ class T5Config:
         )
         kw.update(overrides)
         return cls(**kw)
-
-    @classmethod
-    def t5_xxl(cls, **overrides) -> "T5Config":
-        """google/t5-v1_1-xxl — the FLUX.1-schnell text encoder shape."""
-        return cls(**overrides)
 
 
 def _relative_position_bucket(rel_pos, num_buckets: int, max_distance: int):
@@ -264,25 +263,9 @@ def load_t5_encoder(
         json.loads((model_path / "config.json").read_text()),
         dtype=dtype, param_dtype=dtype,
     )
-    sd: dict[str, np.ndarray] = {}
-    st_files = sorted(model_path.glob("*.safetensors"))
-    if st_files:
-        from safetensors.numpy import load_file
+    from f_lite_tpu.convert.torch_to_jax import load_hf_weights
 
-        for f in st_files:
-            sd.update(load_file(str(f)))
-    else:
-        import torch
-
-        for f in sorted(model_path.glob("*.bin")):
-            sd.update({
-                k: v.float().numpy()
-                for k, v in torch.load(
-                    str(f), map_location="cpu", weights_only=True
-                ).items()
-            })
-    if not sd:
-        raise FileNotFoundError(f"no weights under {model_path}")
+    sd = load_hf_weights(model_path)
     # materialize straight at param_dtype: the conversion path's np.float32
     # intermediates are host-side only — without this cast T5-XXL would
     # land as ~19 GB of fp32 on a 16 GB chip

@@ -51,7 +51,7 @@ def _flax_from(torch_model, feed_forward_proj, return_index):
     return T5EncoderStack(cfg, return_index=return_index), params
 
 
-@pytest.mark.parametrize("ff", ["relu", "gated-gelu"])
+@pytest.mark.parametrize("ff", ["relu", "gelu", "gated-gelu"])
 @pytest.mark.parametrize("return_index", [-1, -2, -3])
 def test_hidden_state_parity(ff, return_index):
     import jax.numpy as jnp
@@ -153,6 +153,38 @@ def test_load_t5_encoder_from_dir(tmp_path):
     rs = np.random.RandomState(3)
     ids = rs.randint(0, 96, (1, 8))
     mask = np.ones((1, 8), np.int64)
+    with torch.no_grad():
+        ref = m(
+            input_ids=torch.from_numpy(ids),
+            attention_mask=torch.from_numpy(mask),
+        ).last_hidden_state.numpy()
+    got = np.asarray(model.apply(params, jnp.asarray(ids), jnp.asarray(mask)))
+    np.testing.assert_allclose(got, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_load_t5_encoder_bin_dir_ignores_non_weight_bins(tmp_path):
+    """A Trainer-style dir has pytorch_model.bin PLUS training_args.bin
+    (a pickled non-tensor): the loader must only read pytorch_model*.bin
+    — a bare *.bin glob crashed torch.load on the args pickle."""
+    import json
+
+    import jax.numpy as jnp
+
+    from f_lite_tpu.text.t5 import load_t5_encoder
+
+    m = _torch_model("relu")
+    torch.save(m.state_dict(), tmp_path / "pytorch_model.bin")
+    torch.save({"not": "weights"}, tmp_path / "training_args.bin")
+    (tmp_path / "config.json").write_text(json.dumps({
+        **TINY, "feed_forward_proj": "relu", "model_type": "t5",
+    }))
+
+    model, params, cfg = load_t5_encoder(
+        tmp_path, return_index=-1, dtype=jnp.float32
+    )
+    rs = np.random.RandomState(5)
+    ids = rs.randint(0, 96, (1, 6))
+    mask = np.ones((1, 6), np.int64)
     with torch.no_grad():
         ref = m(
             input_ids=torch.from_numpy(ids),
