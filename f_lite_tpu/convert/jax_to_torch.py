@@ -295,7 +295,7 @@ def invert_vae_params(
 def reference_dit_config(config: DiTConfig) -> dict:
     """The reference DiT's constructor args / diffusers `config.json`
     fields for this architecture (`model.py:419-433`, `pt.py:85-95`)."""
-    return {
+    out = {
         "_class_name": "DiT",
         "in_channels": config.in_channels,
         "patch_size": config.patch_size,
@@ -311,6 +311,21 @@ def reference_dit_config(config: DiTConfig) -> dict:
         "residual_v": config.residual_v,
         "gradient_checkpoint": False,
     }
+    # non-v1 architecture fields are emitted ONLY when they differ from
+    # the v1 defaults: a v1 export stays byte-identical to the reference
+    # layout, while v2-style configs (per-block AdaLN / non-default
+    # cross-attn pattern) round-trip through re-ingest instead of being
+    # silently mislabeled as v1 (the in-repo reference model.py can't
+    # express them anyway — its v2 lives in model_v2.py)
+    if config.adaln_mode != "shared":
+        out["adaln_mode"] = config.adaln_mode
+    if config.cross_attn_all:
+        out["cross_attn_all"] = True
+    if config.cross_attn_first_n != 8:
+        out["cross_attn_first_n"] = config.cross_attn_first_n
+    if config.cross_attn_period != 4:
+        out["cross_attn_period"] = config.cross_attn_period
+    return out
 
 
 def reference_vae_config(config: VAEConfig) -> dict:

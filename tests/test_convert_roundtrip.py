@@ -15,6 +15,7 @@ unexpected keys — proving exported checkpoints are reference-consumable
 
 import json
 import sys
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -324,3 +325,111 @@ class TestExportCLI:
         assert _hf_component_class(enc) == "T5EncoderModel"
         (enc / "config.json").write_text(json.dumps({}))
         assert _hf_component_class(enc) == "AutoModel"
+
+
+class TestV2ExportCycle:
+    """Non-v1 architectures must survive the full CLI cycle — export
+    previously wrote a v1-labeled config for v2 checkpoints, and the
+    --pt ingest rebuilt v2 state dicts as v1 silently."""
+
+    def test_v2_config_round_trips(self, tmp_path):
+        from convert_checkpoint import main as convert_main
+        from safetensors.numpy import load_file
+
+        cfg = DiTConfig(
+            in_channels=16, patch_size=2, hidden_size=64, depth=10,
+            num_heads=4, mlp_ratio=2.0, cross_attn_input_size=48,
+            adaln_mode="per_block", cross_attn_all=True,
+            use_pallas_attention=False,
+        )
+        sd = _np_sd(make_random_state_dict(cfg, seed=7))
+        torch.save(
+            {k: torch.from_numpy(v) for k, v in sd.items()},
+            tmp_path / "m.pt",
+        )
+        # --pt ingest detects v2 from the key set (per-block adaLN, a
+        # cross tower in block 9 which the v1 pattern would skip)
+        jax_dir = convert_main([
+            "--pt", str(tmp_path / "m.pt"), "--head_dim", "16",
+            "--no_residual_v", "--output_dir", str(tmp_path / "ck"),
+        ])
+        cfg1 = json.loads((Path(jax_dir) / "dit" / "config.json").read_text())
+        assert cfg1["adaln_mode"] == "per_block" and cfg1["cross_attn_all"]
+
+        hf_dir = convert_main([
+            "--export_torch", str(jax_dir),
+            "--output_dir", str(tmp_path / "hf"),
+        ])
+        ecfg = json.loads((hf_dir / "dit_model" / "config.json").read_text())
+        assert ecfg["adaln_mode"] == "per_block" and ecfg["cross_attn_all"]
+        # no vae in the source checkpoint -> no vae entry for consumers
+        # to resolve (and none written)
+        idx = json.loads((hf_dir / "model_index.json").read_text())
+        assert "vae" not in idx
+
+        exported = load_file(
+            str(hf_dir / "dit_model" / "diffusion_pytorch_model.safetensors")
+        )
+        _assert_exact(sd, dict(exported))
+
+        jax2 = convert_main([
+            "--hf_dir", str(hf_dir), "--head_dim", "16",
+            "--output_dir", str(tmp_path / "ck2"),
+        ])
+        cfg2 = json.loads((Path(jax2) / "dit" / "config.json").read_text())
+        assert cfg2["adaln_mode"] == "per_block" and cfg2["cross_attn_all"]
+        p1 = load_file(str(Path(jax_dir) / "dit" / "flax_params.safetensors"))
+        p2 = load_file(str(Path(jax2) / "dit" / "flax_params.safetensors"))
+        _assert_exact(dict(p1), dict(p2))
+
+    def test_hf_mlp_ratio_inferred_when_config_lacks_it(self):
+        """An hf config without mlp_ratio must fall back to the width
+        visible in the weights, not a hardcoded 4.0."""
+        import argparse
+
+        from convert_checkpoint import _dit_config_from_sd
+
+        args = argparse.Namespace(
+            width=64, head_dim=16, cross_attn_input_size=48,
+            residual_v=False, mlp_ratio=4.0,
+        )
+        sd = {"blocks.0.mlp.gate_proj.weight": np.zeros((128, 64),
+                                                        np.float32)}
+        cfg = _dit_config_from_sd(
+            sd, args, {"hidden_size": 64, "num_heads": 4, "depth": 2}
+        )
+        assert cfg.mlp_ratio == 2.0
+
+
+class TestParityCheckBf16Checkpoint:
+    def test_checkpoint_mode_bf16_params(self, tmp_path):
+        """A bf16-saved checkpoint (what a bf16-param pipeline writes)
+        must invert and run through the torch oracle — ml_dtypes
+        bfloat16 arrays crash torch.from_numpy without the cast."""
+        import ml_dtypes
+        from safetensors.numpy import load_file, save_file
+
+        from convert_checkpoint import main as convert_main
+        from parity_check import main as parity_main
+
+        cfg = DiTConfig(
+            in_channels=16, patch_size=2, hidden_size=64, depth=3,
+            num_heads=4, mlp_ratio=2.0, cross_attn_input_size=48,
+            use_pallas_attention=False,
+        )
+        sd = make_random_state_dict(cfg, seed=9)
+        torch.save(dict(sd), tmp_path / "m.pt")
+        convert_main([
+            "--pt", str(tmp_path / "m.pt"), "--head_dim", "16",
+            "--no_residual_v", "--output_dir", str(tmp_path / "ck"),
+        ])
+        f = tmp_path / "ck" / "dit" / "flax_params.safetensors"
+        p = load_file(str(f))
+        save_file({k: v.astype(ml_dtypes.bfloat16) for k, v in p.items()},
+                  str(f))
+        rc = parity_main([
+            "--checkpoint", str(tmp_path / "ck"), "--steps", "1",
+            "--size", "64", "--bf16",
+            "--json_out", str(tmp_path / "pc.json"),
+        ])
+        assert rc == 0

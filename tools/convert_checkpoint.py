@@ -121,7 +121,13 @@ def _dit_config_from_sd(sd, args, hf_config=None):
             hidden_size=width,
             depth=hf_config.get("depth", infer_depth(sd)),
             num_heads=heads,
-            mlp_ratio=hf_config.get("mlp_ratio", 4.0),
+            # fallback: the MLP width is directly visible in the state
+            # dict — a hardcoded 4.0 would disagree with the weights and
+            # fail apply() with a SwiGLU shape error
+            mlp_ratio=hf_config.get("mlp_ratio") or (
+                sd["blocks.0.mlp.gate_proj.weight"].shape[0] / width
+                if "blocks.0.mlp.gate_proj.weight" in sd else 4.0
+            ),
             cross_attn_input_size=hf_config.get(
                 "cross_attn_input_size", args.cross_attn_input_size
             ),
@@ -132,6 +138,13 @@ def _dit_config_from_sd(sd, args, hf_config=None):
                 "dynamic_softmax_temperature", False
             ),
             residual_v=hf_config.get("residual_v", args.residual_v),
+            # non-v1 fields (emitted by export_torch only when non-
+            # default) — without these a re-ingested v2-style export
+            # would be silently rebuilt as v1
+            adaln_mode=hf_config.get("adaln_mode", "shared"),
+            cross_attn_all=hf_config.get("cross_attn_all", False),
+            cross_attn_first_n=hf_config.get("cross_attn_first_n", 8),
+            cross_attn_period=hf_config.get("cross_attn_period", 4),
         )
         return DiTConfig(**kw)
     width = sd["context_proj.weight"].shape[0]
@@ -151,6 +164,18 @@ def _dit_config_from_sd(sd, args, hf_config=None):
         train_bias_and_rms="final_norm.weight" in sd,
         residual_v=args.residual_v
         or any(".lambda_v" in k for k in sd),
+        # v2-style architectures are visible in the key set: per-block
+        # adaLN heads instead of one shared head, and a cross-attn tower
+        # in a block the v1 pattern (idx%4==0 or idx<8) would skip
+        adaln_mode=(
+            "per_block" if "blocks.0.adaLN_modulation.1.weight" in sd
+            and "adaLN_modulation.1.weight" not in sd else "shared"
+        ),
+        cross_attn_all=any(
+            f"blocks.{i}.cross_attn.q.weight" in sd
+            for i in range(8, infer_depth(sd))
+            if i % 4 != 0
+        ),
     )
 
 
@@ -163,15 +188,13 @@ def _hf_component_class(subdir: Path) -> str:
     tokenizer_config.json's tokenizer_class (e.g. T5Tokenizer) or model
     config.json's architectures[0] (e.g. T5EncoderModel) — falling back to
     the Auto loaders, which both classes of dir support."""
-    import json as _json
-
     tok_cfg = subdir / "tokenizer_config.json"
     if tok_cfg.exists():
-        cls = _json.loads(tok_cfg.read_text()).get("tokenizer_class")
+        cls = json.loads(tok_cfg.read_text()).get("tokenizer_class")
         return cls or "AutoTokenizer"
     model_cfg = subdir / "config.json"
     if model_cfg.exists():
-        arch = _json.loads(model_cfg.read_text()).get("architectures") or []
+        arch = json.loads(model_cfg.read_text()).get("architectures") or []
         if arch:
             return arch[0]
     return "AutoTokenizer" if "tokenizer" in subdir.name else "AutoModel"
@@ -186,8 +209,6 @@ def export_torch(args):
     reference's exact torch key set and shapes, so the dirs load through
     the reference's own `pt.py` / diffusers paths shape-wise.
     """
-    import json as _json
-
     import numpy as np
 
     from f_lite_tpu.convert import invert_dit_params, invert_vae_params
@@ -201,7 +222,7 @@ def export_torch(args):
 
     ck = Path(args.export_torch)
     out = Path(args.output_dir)
-    cfg_d = _json.loads((ck / "dit" / "config.json").read_text())
+    cfg_d = json.loads((ck / "dit" / "config.json").read_text())
     cfg = DiTConfig(**_config_kwargs(DiTConfig, cfg_d))
     params = {"params": load_params_safetensors(
         ck / "dit" / "flax_params.safetensors"
@@ -218,17 +239,19 @@ def export_torch(args):
     (out / "dit_model").mkdir(parents=True, exist_ok=True)
     save_file(sd, str(out / "dit_model" / "diffusion_pytorch_model.safetensors"))
     (out / "dit_model" / "config.json").write_text(
-        _json.dumps(reference_dit_config(cfg), indent=2)
+        json.dumps(reference_dit_config(cfg), indent=2)
     )
 
     index = {
         "_class_name": "FLitePipeline",
         "dit_model": ["f_lite.model", "DiT"],
-        "vae": ["diffusers", "AutoencoderKL"],
     }
     vae_ck = ck / "vae"
     if vae_ck.exists():
-        vcfg_d = _json.loads((vae_ck / "config.json").read_text())
+        # the component entry exists only when the subdir is written —
+        # diffusers-style consumers resolve every model_index.json entry
+        index["vae"] = ["diffusers", "AutoencoderKL"]
+        vcfg_d = json.loads((vae_ck / "config.json").read_text())
         vcfg = VAEConfig(**_config_kwargs(VAEConfig, {
             **vcfg_d,
             "block_out_channels": tuple(vcfg_d["block_out_channels"]),
@@ -243,14 +266,14 @@ def export_torch(args):
         (out / "vae").mkdir(exist_ok=True)
         save_file(vsd, str(out / "vae" / "diffusion_pytorch_model.safetensors"))
         (out / "vae" / "config.json").write_text(
-            _json.dumps(reference_vae_config(vcfg), indent=2)
+            json.dumps(reference_vae_config(vcfg), indent=2)
         )
         logger.info("inverted VAE (%d tensors)", len(vsd))
     for sub in ("text_encoder", "tokenizer"):
         if (ck / sub).exists():
             shutil.copytree(ck / sub, out / sub, dirs_exist_ok=True)
             index[sub] = ["transformers", _hf_component_class(out / sub)]
-    (out / "model_index.json").write_text(_json.dumps(index, indent=2))
+    (out / "model_index.json").write_text(json.dumps(index, indent=2))
 
     if args.pt_file:
         import torch

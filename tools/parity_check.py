@@ -152,6 +152,11 @@ def main(argv=None):
         flax_params = {"params": load_params_safetensors(
             ck / "dit" / "flax_params.safetensors")}
         sd_np = invert_dit_params(flax_params, cfg)
+        # bf16-saved checkpoints invert to ml_dtypes.bfloat16 arrays,
+        # which torch.from_numpy cannot consume — cast like export_torch
+        import numpy as _np
+
+        sd_np = {k: _np.asarray(v, _np.float32) for k, v in sd_np.items()}
     else:
         cfg = DiTConfig(
             in_channels=16, patch_size=2, hidden_size=128, depth=4,
