@@ -168,6 +168,24 @@ def _ensure_clean_forkserver():
         multiprocessing.set_forkserver_preload(["f_lite_tpu.data.dataset"])
         from multiprocessing import forkserver
 
+        if getattr(forkserver._forkserver, "_forkserver_pid", None):
+            # someone (user code, another library) already started the
+            # singleton forkserver — with the parent's env intact.
+            # ensure_running() is then a no-op: our env strip and preload
+            # cannot apply, and workers forked from that server may
+            # register the remote TPU backend. Loud, once.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "multiprocessing forkserver was already running before "
+                "the DataLoader started it: its workers inherit the "
+                "parent's TPU env (PALLAS_AXON_POOL_IPS/JAX_PLATFORMS) "
+                "instead of the stripped one — create process-worker "
+                "loaders before starting your own forkserver processes"
+            )
+            _forkserver_started = True
+            return
+
         saved = {
             k: os.environ.pop(k, None)
             for k in ("PALLAS_AXON_POOL_IPS", "JAX_PLATFORMS")
@@ -267,15 +285,18 @@ class DataLoader:
             # unpicklable dataset: fall back to fork inheritance through
             # _FORK_DATASETS (no per-task dataset pickling, only
             # (idx, result) cross pipes) — carries the fork-with-threads
-            # hazard, hence the warning
-            import logging
+            # hazard, hence the warning (once per loader, not per epoch:
+            # _make_pool runs at every __iter__)
+            if not getattr(self, "_fork_warned", False):
+                self._fork_warned = True
+                import logging
 
-            logging.getLogger(__name__).warning(
-                "dataset is not picklable (%s); process workers fall back "
-                "to fork, which is unsafe in a multithreaded/TPU-attached "
-                "parent — make the dataset picklable to use the forkserver "
-                "pool", pickle_err,
-            )
+                logging.getLogger(__name__).warning(
+                    "dataset is not picklable (%s); process workers fall "
+                    "back to fork, which is unsafe in a multithreaded/"
+                    "TPU-attached parent — make the dataset picklable to "
+                    "use the forkserver pool", pickle_err,
+                )
             token = next(_FORK_TOKENS)
             _FORK_DATASETS[token] = self.dataset
             ctx = multiprocessing.get_context("fork")

@@ -439,6 +439,32 @@ class TestLoaderRobustness:
         assert "fallback-ok" in r.stdout
         assert "falling back" not in r.stderr or "__main__" in r.stderr
 
+    def test_preexisting_forkserver_warns_once(self, caplog):
+        """If user code started the singleton forkserver before the
+        loader (env strip can no longer apply), the loader must warn
+        loudly instead of silently believing workers are clean."""
+        import logging
+
+        from f_lite_tpu.data import loader as loader_mod
+
+        # ensure a forkserver is running (any prior pool started it),
+        # then make the loader re-evaluate as if seeing it first
+        dl0 = DataLoader(PicklableTagged("W", n=2), batch_size=1,
+                         num_workers=1, worker_type="process")
+        list(dl0)
+        loader_mod._forkserver_started = False
+        try:
+            with caplog.at_level(logging.WARNING,
+                                 logger="f_lite_tpu.data.loader"):
+                dl = DataLoader(PicklableTagged("W2", n=4), batch_size=2,
+                                num_workers=1, worker_type="process")
+                items = [x for b in dl for x in b]
+            assert sorted(x["idx"] for x in items) == list(range(4))
+            assert any("already running" in r.message for r in
+                       caplog.records)
+        finally:
+            loader_mod._forkserver_started = True
+
     def test_forkserver_preload_is_jax_free(self):
         """The ONLY module the forkserver preloads must import without
         pulling jax (via the f_lite_tpu package __init__ chain): jax in
