@@ -929,7 +929,15 @@ def train(args) -> dict:
                     perm = rs.permutation(bsz)
                     w = np.zeros(bsz, np.float32)
                     w[perm[:target]] = 1.0
-                    weight = put_global_batch(jnp.asarray(w), bsh)
+                    # w is GLOBAL-length (bsz = global batch) and
+                    # identical on every host (seeded by (seed, step)) —
+                    # put_global_batch's local-slice contract does NOT
+                    # apply here; build the global array per-shard
+                    # instead, each device reading its own rows of the
+                    # shared global vector (multi-host safe)
+                    weight = jax.make_array_from_callback(
+                        (bsz,), bsh, lambda idx: w[idx]
+                    )
             state, metrics = train_step(
                 state, k_step, latents, ctx, mask, weight
             )

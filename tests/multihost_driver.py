@@ -102,6 +102,20 @@ def main():
 
     state2, loss, metrics = step(state, jax.random.key(3), latents, ctx, mask)
 
+    # rampup-style loss weight: a GLOBAL-length 0/1 vector, identical on
+    # every host (trainer seeds it by (seed, step)), placed per-shard via
+    # make_array_from_callback — put_global_batch's local-slice contract
+    # does NOT apply to it. The weighted dot with a known global probe
+    # detects any duplication/misordering across the process-spanning
+    # batch axis.
+    rs3 = np.random.RandomState(4242)  # same seed on both ranks
+    wg = np.zeros(8, np.float32)
+    wg[rs3.permutation(8)[:5]] = 1.0
+    weight = jax.make_array_from_callback((8,), bsh, lambda idx: wg[idx])
+    probe = jnp.arange(8, dtype=jnp.float32)
+    wdot = float(jax.jit(jnp.vdot)(weight, probe))
+    rampup_expected = float(np.dot(wg, np.arange(8, dtype=np.float32)))
+
     # second leg: pipeline parallelism ACROSS the process boundary —
     # mesh (dp=1, pp=2, fsdp=2, tp=2) puts stage 0 on process 0's four
     # devices and stage 1 on process 1's, so the GPipe stage shift is a
@@ -144,6 +158,8 @@ def main():
         "step": int(state2.step),
         "pp_loss": float(pp_loss),
         "pp_grad_norm": float(pp_metrics["grad_norm"]),
+        "rampup_wdot": wdot,
+        "rampup_expected": rampup_expected,
     }
     print("RESULT " + json.dumps(out), flush=True)
 

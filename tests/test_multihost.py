@@ -119,6 +119,13 @@ class TestTwoProcessTrainStep:
         # pipeline-parallel leg: stage 0 lives on process 0, stage 1 on
         # process 1 — a finite agreeing loss means the GPipe stage shift
         # ran as a real cross-host collective
+        # rampup weight assembled from a shared global vector: the
+        # weighted dot must equal the host-side value on BOTH ranks (a
+        # local-slice misuse would duplicate or misorder the weights)
+        for r in (0, 1):
+            assert results[r]["rampup_wdot"] == pytest.approx(
+                results[r]["rampup_expected"])
+
         p0, p1 = results[0]["pp_loss"], results[1]["pp_loss"]
         assert np.isfinite(p0)
         assert p0 == pytest.approx(p1, rel=1e-6)

@@ -46,16 +46,23 @@ SERVE_PROGRAMS = [
 
 
 def run_one(cmd: list[str], out_file: Path) -> dict:
-    proc = subprocess.run(
-        [sys.executable, *cmd], capture_output=True, text=True,
-        timeout=1800,
-    )
+    """One compile-check subprocess -> its JSON record, or an error
+    record (never an exception): a single slow/failed mesh must not
+    abort the sweep and discard hours of completed compiles."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, *cmd], capture_output=True, text=True,
+            timeout=1800,
+        )
+    except subprocess.TimeoutExpired:
+        return {"ok": False, "error": "timeout after 1800s"}
     if out_file.exists():
         return json.loads(out_file.read_text())
-    raise RuntimeError(
-        f"{' '.join(cmd)} produced no output:\n{proc.stdout[-2000:]}\n"
-        f"{proc.stderr[-2000:]}"
-    )
+    return {
+        "ok": False,
+        "error": (f"no output; rc={proc.returncode}\n"
+                  f"{proc.stdout[-1000:]}\n{proc.stderr[-1000:]}"),
+    }
 
 
 def main():
@@ -86,6 +93,7 @@ def main():
         rec = run_one(cmd, out_file)
         rec["label"], rec["n_devices"] = label, n
         records["training"].append(rec)
+        Path(args.out).write_text(json.dumps(records, indent=2))  # flush
         m = rec.get("memory") or {}
         print(f"  peak {m.get('per_chip_peak_gb')} GB/chip "
               f"(args {m.get('per_chip_args_gb')}, temps "
@@ -102,6 +110,7 @@ def main():
         rec = run_one(cmd, out_file)
         rec["label"] = label
         records["serving"].append(rec)
+        Path(args.out).write_text(json.dumps(records, indent=2))  # flush
         m = rec.get("memory") or {}
         print(f"  peak {m.get('per_chip_peak_gb')} GB/chip "
               f"fits={m.get('fits_budget')}", flush=True)

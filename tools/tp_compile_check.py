@@ -69,6 +69,11 @@ def _parse_iota_groups(raw: str):
 
 
 def memory_record(compiled, budget_gb: float = 16.0):
+    # budget verified empirically, not from the "16 GB" spec sheet: a
+    # single 15.5 GiB buffer allocates on the real v5e chip (round-3
+    # probe), so usable HBM is 16 GiB minus a <0.5 GiB runtime reserve —
+    # the GiB-denominated peak below compares against the right unit.
+    # The fitting training meshes peak <= 14.8 GiB, safe either way.
     """Per-chip memory stats from XLA's own accounting
     (`compiled.memory_analysis()`), against the v5e 16 GB HBM budget.
 
