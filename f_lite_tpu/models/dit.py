@@ -795,6 +795,19 @@ class PipelineTrunk(nn.Module):
             num_mb = next(
                 k for k in range(min(num_mb, b), 0, -1) if b % k == 0
             )
+            # loud, once per traced shape: if THIS is the training batch,
+            # the recipe is wrong — fewer microbatches grow the GPipe
+            # bubble to (pp-1)/(num_mb+pp-1) idle, and a tiny microbatch
+            # may stop dividing the (dp, fsdp) extent, silently defeating
+            # batch-axis activation sharding (_constrain drops the hint)
+            import logging
+
+            logging.getLogger("f_lite_tpu.models.dit").warning(
+                "batch %d not divisible by pipeline_microbatches=%d — "
+                "degrading this program to %d microbatch(es); expected "
+                "for init/eval shapes, a misconfigured recipe if it is "
+                "the training step", b, cfg.pipeline_microbatches, num_mb,
+            )
         bmb = b // num_mb
 
         def mb(x):
