@@ -45,6 +45,23 @@ _NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 _LANES = 128
 
 
+def _env_block_cap(name: str) -> int:
+    """Validated env-var block cap: 0/unset = no cap; otherwise an int,
+    rounded DOWN to a multiple of 128 (Mosaic sublane alignment) and
+    floored at 512 (smaller caps are silently impossible — the kernels'
+    minimum tuned block)."""
+    raw = os.environ.get(name, "0")
+    try:
+        cap = int(raw)
+    except ValueError:
+        raise ValueError(
+            f"{name}={raw!r} is not an integer (expected e.g. 2048)"
+        ) from None
+    if cap <= 0:
+        return 0
+    return max(512, cap // 128 * 128)
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -460,9 +477,9 @@ def _bwd_default_bq(lq: int, d: int) -> int:
                           // 128 * 128))
     cands = [b for b in (2048, 1024, 512) if b <= bq_max] or [bq_max]
     bq = min(cands, key=lambda b: (_round_up(lq, b), -b))
-    cap = int(os.environ.get("F_LITE_FLASH_MAX_BWD_BQ", "0"))
+    cap = _env_block_cap("F_LITE_FLASH_MAX_BWD_BQ")
     if cap:
-        bq = min(bq, max(512, cap))
+        bq = min(bq, cap)
     return bq
 
 
@@ -597,8 +614,15 @@ def flash_attention(
         # with nq > 1 Mosaic double-buffers the q/out tiles across q blocks
         # and the (4096, 128) config lands ~256K over the 16MB scoped-vmem
         # limit (measured at 2048px serving, lq=16384)
+        _auto_bk128 = False
         if lq >= 4096 and b * h <= 32 and _round_up(_eff_lq, 128) <= 4096:
-            block_q, block_k = 4096, block_k or 128
+            if block_k is None:
+                # bk=128 is tuned FOR bq=4096; remembered so a later
+                # clamp of bq re-picks the default bk instead of running
+                # the untuned (2048, 128) pairing
+                block_k = 128
+                _auto_bk128 = True
+            block_q = 4096
         elif lq >= 2048:
             block_q = 2048
         else:
@@ -613,14 +637,16 @@ def flash_attention(
             # quality audits, not the serving path, so bf16 perf tuning
             # is untouched.
             block_q = min(block_q, 2048)
-        cap = int(os.environ.get("F_LITE_FLASH_MAX_BQ", "0"))
+        cap = _env_block_cap("F_LITE_FLASH_MAX_BQ")
         if cap:
             # escape hatch: XLA's scoped-vmem accounting is program-
             # context dependent — the same (4096, 128) call that fits in
             # the serving scan can land ~1% over the 16MB limit inside a
             # differently-fused program (tools/quality_audit.py). The cap
             # only applies to default-block callers.
-            block_q = min(block_q, max(512, cap))
+            block_q = min(block_q, cap)
+        if _auto_bk128 and block_q < 4096:
+            block_k = None  # re-pick the default bk below (256)
     if block_k is None:
         # bk=256 everywhere: isolated-kernel sweeps prefer bk=512 at
         # L>=8192 (+3.5%: 150->156 TF/s at L=16384), but the full 2048px

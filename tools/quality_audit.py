@@ -163,7 +163,7 @@ def compare(tr_a, tr_b):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="1p9b", choices=("1p9b", "7b"))
-    ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--steps", type=int, default=30)  # validated >= 1
     ap.add_argument("--size", type=int, default=1024)
     ap.add_argument("--guidance_scale", type=float, default=6.0)
     ap.add_argument("--seed", type=int, default=0)
@@ -171,6 +171,8 @@ def main():
                     help="comma subset of the model's modes (debug)")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    if args.steps < 1:
+        raise SystemExit(f"--steps must be >= 1, got {args.steps}")
 
     import jax
     import jax.numpy as jnp
@@ -192,7 +194,15 @@ def main():
         modes = ["bf16", "int8"]
     common = dict(scan_layers=True, **base)
     if args.modes:
-        modes = [m for m in modes if m in args.modes.split(",")]
+        wanted = args.modes.split(",")
+        bad = [m for m in wanted if m not in modes]
+        if bad:
+            raise SystemExit(
+                f"--modes {bad} not available for --model {args.model} "
+                f"(valid: {modes}) — a silent intersection would burn "
+                "minutes of chip time writing an empty artifact"
+            )
+        modes = [m for m in modes if m in wanted]
 
     cfg_master = DiTConfig(dtype=master_dtype, param_dtype=master_dtype,
                            **common)
@@ -260,9 +270,9 @@ def main():
 
     def psnr(a, b, peak=2.0):
         mse = float(((a - b) ** 2).mean())
-        return float("inf") if mse == 0 else float(
-            10 * np.log10(peak * peak / mse)
-        )
+        if mse == 0:
+            return None  # identical decodes; inf is not valid JSON
+        return float(10 * np.log10(peak * peak / mse))
 
     pairs = [(a, b) for i, a in enumerate(modes) for b in modes[i + 1:]]
     record = {
@@ -276,7 +286,8 @@ def main():
     }
     for a, b in pairs:
         c = compare(trajs[a], trajs[b])
-        c["decoded_psnr_db"] = round(psnr(images[a], images[b]), 2)
+        _p = psnr(images[a], images[b])
+        c["decoded_psnr_db"] = None if _p is None else round(_p, 2)
         c["decoded_max_abs"] = float(np.abs(images[a] - images[b]).max())
         record["comparisons"][f"{b}_vs_{a}"] = c
         print(f"{b} vs {a}: worst step MSE {c['worst_step_mse']:.3e}, "

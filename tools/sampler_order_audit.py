@@ -121,8 +121,9 @@ def main():
 
     def psnr(a, b, peak=2.0):
         mse = float(((a - b) ** 2).mean())
-        return float("inf") if mse == 0 else float(
-            10 * np.log10(peak * peak / mse))
+        if mse == 0:
+            return None  # identical decodes; inf is not valid JSON
+        return float(10 * np.log10(peak * peak / mse))
 
     record = {
         "model": "1p9b-fp32", "size_px": args.size,
@@ -137,7 +138,9 @@ def main():
         record["runs"][name] = {
             "final_mse_vs_truth": float(((z - truth) ** 2).mean()),
             "final_max_abs_vs_truth": float(np.abs(z - truth).max()),
-            "decoded_psnr_db_vs_truth": round(psnr(img, img_truth), 2),
+            "decoded_psnr_db_vs_truth": (
+                lambda v: None if v is None else round(v, 2)
+            )(psnr(img, img_truth)),
         }
         print(f"{name}: mse {record['runs'][name]['final_mse_vs_truth']:.3e}"
               f", psnr {record['runs'][name]['decoded_psnr_db_vs_truth']} dB",
