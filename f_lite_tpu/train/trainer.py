@@ -773,7 +773,16 @@ def train(args) -> dict:
     # reference; sampled/exported weights come from the EMA when enabled
     ema_params = None
     ema_update = None
-    if args.ema_decay > 0:
+    if args.ema_decay != 0.0:
+        if not 0.0 < args.ema_decay < 1.0:
+            # decay == 1.0 would freeze the EMA at the initial weights —
+            # and the EMA is what eval sampling and export prefer, so a
+            # whole run's export would silently be untrained; negative
+            # values are a typo, not a request to disable (that's 0)
+            raise ValueError(
+                f"--ema_decay must be 0 (off) or in (0, 1), "
+                f"got {args.ema_decay}"
+            )
         d = float(args.ema_decay)
         ema_dt = jnp.bfloat16 if args.ema_dtype == "bf16" else None
 
@@ -783,6 +792,8 @@ def train(args) -> dict:
                 return ema_dt
             return x.dtype
 
+        # donate the old EMA tree: without it every step holds two
+        # full EMA copies in HBM (multi-GB transient at 7B-10B scale)
         ema_update = jax.jit(
             lambda e, p: jax.tree.map(
                 lambda a, b: (
@@ -790,7 +801,8 @@ def train(args) -> dict:
                     + b.astype(jnp.float32) * (1.0 - d)
                 ).astype(a.dtype),
                 e, p,
-            )
+            ),
+            donate_argnums=(0,),
         )
         restored = None
         if args.resume_from_checkpoint and global_step:

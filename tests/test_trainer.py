@@ -252,6 +252,18 @@ class TestPrecomputedPath:
 
 
 class TestEmaAndRampup:
+    @pytest.mark.parametrize("decay", ["1.0", "1.5", "-0.1"])
+    def test_ema_decay_out_of_range_raises(self, tmp_path, decay):
+        """decay == 1 freezes the EMA at init (exports would silently be
+        untrained); negatives are typos, not a disable request (0 is)."""
+        root = _write_parquet_dataset(tmp_path)
+        args = parse_args(_base_argv(root, tmp_path / "out") + [
+            "--max_steps", "1", "--checkpointing_steps", "0",
+            "--ema_decay", decay,
+        ])
+        with pytest.raises(ValueError, match="ema_decay"):
+            train(args)
+
     def test_ema_saved_and_resumed(self, tmp_path):
         root = _write_parquet_dataset(tmp_path)
         out = tmp_path / "out"
@@ -277,7 +289,11 @@ class TestEmaAndRampup:
         out = tmp_path / "out"
         args = parse_args(_base_argv(root, out) + [
             "--max_steps", "3", "--checkpointing_steps", "0",
-            "--bs_rampup", "100",  # keeps target_bs < batch for all steps
+            # batch 8: target = ceil((gs+1)*8/400)*4 = 4 < 8 for every
+            # tested step, so the WEIGHTED path actually runs (at the
+            # default batch 4 the multiple-of-4 rounding keeps target ==
+            # batch and the rampup branch is silently never entered)
+            "--train_batch_size", "8", "--bs_rampup", "100",
         ])
         result = train(args)
         assert np.isfinite(result["train/loss"])
@@ -309,6 +325,10 @@ class TestEmaAndRampup:
         bit-identical losses."""
         root = _write_parquet_dataset(tmp_path)
         common = [
+            # batch 8 so target (4) < batch and the weighted subset is
+            # really drawn each step (see test_bs_rampup_runs); two
+            # epochs because batch 8 leaves only 3 batches per epoch
+            "--train_batch_size", "8", "--num_epochs", "2",
             "--bs_rampup", "100", "--seed", "7",
             # constant LR: decaying schedules are a function of max_steps
             # (reference semantics), which differs between the phases here
