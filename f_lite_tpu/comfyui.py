@@ -70,6 +70,9 @@ class FLiteNode:
                 # image-to-image (beyond the reference node): plug any
                 # IMAGE output in and set strength < 1.0
                 "image": ("IMAGE",),
+                # inpainting (with image): ComfyUI MASK, 1 = repaint,
+                # 0 = keep; soft values blend
+                "mask": ("MASK",),
                 "strength": ("FLOAT", {"default": 0.8, "min": 0.05,
                                        "max": 1.0, "step": 0.05}),
                 # "ab2" integrates at second order at the same per-step
@@ -81,7 +84,7 @@ class FLiteNode:
 
     def generate(self, model, prompt, negative_prompt, width, height,
                  steps, guidance_scale, seed, use_apg, vae_tiling,
-                 image=None, strength=0.8, sampler="euler"):
+                 image=None, mask=None, strength=0.8, sampler="euler"):
         from f_lite_tpu.ops.guidance import APGConfig
 
         init_images = None
@@ -102,6 +105,28 @@ class FLiteNode:
             if len(init_images) == 1:
                 init_images = init_images[0]
 
+        mask_images = None
+        if mask is not None:
+            if image is None:
+                raise ValueError(
+                    "mask requires an image input (inpainting repaints "
+                    "the masked region of the supplied image)"
+                )
+            # ComfyUI MASK: (H, W) or (B, H, W) float in [0, 1], 1 =
+            # masked/repaint — same polarity as the pipeline. Hand the
+            # pipeline per-frame (H, W) float arrays (it bilinear-resizes
+            # to the latent grid; a (B, H, W) array would be misread as
+            # (H, W, C))
+            m = np.asarray(mask, np.float32)
+            if m.ndim == 2:
+                m = m[None]
+            mask_images = [f for f in m]
+            n_img = len(init_images) if isinstance(init_images, list) else 1
+            if len(mask_images) == 1 and n_img > 1:
+                mask_images = mask_images * n_img  # broadcast like ComfyUI
+            if len(mask_images) == 1:
+                mask_images = mask_images[0]
+
         pipe = _get_pipeline(model, vae_tiling)
         # a batched IMAGE input (B frames) generates one variation per
         # frame: the single prompt is repeated to match the image batch
@@ -119,6 +144,7 @@ class FLiteNode:
             apg_config=APGConfig(enabled=True) if use_apg else None,
             output_type="np",
             image=init_images,
+            mask_image=mask_images,
             strength=strength,
             sampler=sampler,
         )

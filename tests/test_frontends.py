@@ -6,6 +6,7 @@ import re
 from pathlib import Path
 
 import numpy as np
+import pytest
 
 from f_lite_tpu.gui import (
     GenerationController,
@@ -140,3 +141,27 @@ class TestComfyNode:
             image=batch_in, strength=0.5,
         )
         assert np.asarray(img3).shape == (2, 16, 16, 3)
+
+        # inpainting: ComfyUI MASK ((H, W) float [0, 1], 1 = repaint)
+        # with the IMAGE input; a single mask broadcasts over B frames
+        m = np.zeros((16, 16), np.float32)
+        m[:, 8:] = 1.0
+        (img4,) = node.generate(
+            "fake", "a boat", "", 16, 16, 2, 6.0, 3, False, False,
+            image=batch_in, mask=m, strength=1.0,
+        )
+        assert np.asarray(img4).shape == (2, 16, 16, 3)
+        # batched (B, H, W) masks are accepted too
+        (img5,) = node.generate(
+            "fake", "a boat", "", 16, 16, 2, 6.0, 3, False, False,
+            image=batch_in, mask=np.stack([m, 1.0 - m]), strength=1.0,
+        )
+        assert np.asarray(img5).shape == (2, 16, 16, 3)
+
+    def test_node_mask_without_image_raises(self):
+        import f_lite_tpu.comfyui as cnode
+
+        node = cnode.FLiteNode()
+        with pytest.raises(ValueError, match="mask requires an image"):
+            node.generate("fake", "x", "", 16, 16, 1, 6.0, 0, False,
+                          False, mask=np.ones((16, 16), np.float32))
