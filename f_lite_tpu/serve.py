@@ -10,6 +10,19 @@ is one dispatch per batch.
   python -m f_lite_tpu.serve --model <dir> --prompts prompts.txt \
       --batch_size 4 --width 1024 --height 1024 --steps 30 \
       [--precomputed_dir <cache>] [--tp 4] --output_dir outs/
+
+HTTP mode (`--http_port`) serves the same pipeline as an endpoint
+(stdlib-only, no new dependencies): `POST /generate` with a JSON body
+`{"prompt": ..., "width"?, "height"?, "steps"?, "guidance_scale"?,
+"seed"?, "negative_prompt"?, "sampler"?}` returns a parameter-stamped
+PNG; `GET /healthz` reports readiness. The default shape is pre-compiled
+before the port binds, so the first request is fast; off-default shapes
+compile once (persistent cache) and must be multiples of 16, capped at
+2048 (the single-chip HBM guardrail — PERF.md 2048px datum). Device work
+is serialized by a lock — concurrent requests queue (batch-1 is the
+optimal single-chip config, PERF.md).
+
+  python -m f_lite_tpu.serve --model <dir> --http_port 8080 --quantize
 """
 
 from __future__ import annotations
@@ -28,8 +41,13 @@ logger = logging.getLogger("f_lite_tpu.serve")
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description="batched F-Lite serving")
     p.add_argument("--model", required=True)
-    p.add_argument("--prompts", required=True,
-                   help="text file, one prompt per line")
+    p.add_argument("--prompts", default=None,
+                   help="text file, one prompt per line (batch mode)")
+    p.add_argument("--http_port", type=int, default=None,
+                   help="serve an HTTP endpoint on this port instead of "
+                        "a prompts file (POST /generate, GET /healthz)")
+    p.add_argument("--http_host", default="127.0.0.1",
+                   help="HTTP bind address (0.0.0.0 to expose)")
     # batch 1 is the optimal single-chip config (PERF.md: batch-1 already
     # saturates the MXU at 7B/1024px; batching pays off across chips)
     p.add_argument("--batch_size", type=int, default=1)
@@ -66,24 +84,16 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def main(argv=None):
-    logging.basicConfig(level=logging.INFO)
-    args = parse_args(argv)
-
+def build_pipeline(args):
+    """Pipeline construction shared by batch and HTTP modes: load (with
+    optional int8 quantization / head padding), wire the text-encoder
+    choice, shard tensor-parallel when --tp > 1."""
     import jax
-    import numpy as np
 
     from f_lite_tpu.pipeline import FLitePipeline
     from f_lite_tpu.utils.env import enable_compilation_cache
 
     enable_compilation_cache()
-
-    prompts = [
-        l.strip() for l in Path(args.prompts).read_text().splitlines()
-        if l.strip()
-    ]
-    if not prompts:
-        raise SystemExit(f"no prompts in {args.prompts}")
 
     pad_heads_to = None
     if args.tp > 1:
@@ -135,6 +145,28 @@ def main(argv=None):
 
         use_mesh_rules(mesh)
         logger.info("sharded DiT tensor-parallel over %d chips", args.tp)
+    return pipe
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO)
+    args = parse_args(argv)
+    if bool(args.prompts) == bool(args.http_port):
+        raise SystemExit(
+            "pass exactly one of --prompts (batch mode) or "
+            "--http_port (HTTP endpoint mode)"
+        )
+
+    pipe = build_pipeline(args)
+    if args.http_port is not None:
+        return run_http(pipe, args)
+
+    prompts = [
+        l.strip() for l in Path(args.prompts).read_text().splitlines()
+        if l.strip()
+    ]
+    if not prompts:
+        raise SystemExit(f"no prompts in {args.prompts}")
 
     out_dir = Path(args.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -202,6 +234,175 @@ def main(argv=None):
         "images_per_min": round(60.0 * n / wall, 2),
     }))
     return manifest
+
+
+def make_http_server(pipe, args, host="127.0.0.1", port=0):
+    """HTTP endpoint over a loaded pipeline (stdlib ThreadingHTTPServer).
+
+    POST /generate  {"prompt": str, "negative_prompt"?, "width"?,
+                     "height"?, "steps"?, "guidance_scale"?, "seed"?,
+                     "sampler"?}            -> image/png (tEXt-stamped)
+    GET  /healthz                           -> {"status": "ok", ...}
+
+    Device work is serialized by a lock (batch-1 is the optimal
+    single-chip config); concurrent requests queue on it. Requests
+    without a seed draw from a process-wide counter so repeated identical
+    bodies still produce distinct images — the seed actually used is
+    stamped into the PNG for reproduction (`generate --from_png`).
+    Returns the server; callers own serve_forever()/shutdown().
+    """
+    import itertools
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from f_lite_tpu.sampling.euler import SAMPLERS
+    from f_lite_tpu.utils.image import png_bytes_with_metadata
+
+    device_lock = threading.Lock()
+    auto_seed = itertools.count(args.seed)
+    seed_lock = threading.Lock()
+
+    class BadRequest(ValueError):
+        pass
+
+    def _int_field(req, key, default, lo, hi):
+        # only request-supplied values are range-checked: the server's
+        # own --width/--height/--steps defaults are trusted as-is (tests
+        # and small models legitimately run below the public bounds)
+        if key not in req:
+            return default
+        v = req[key]
+        if not isinstance(v, int) or isinstance(v, bool) or not lo <= v <= hi:
+            raise BadRequest(f"{key} must be an integer in [{lo}, {hi}]")
+        return v
+
+    def _parse_request(req):
+        if not isinstance(req, dict):
+            raise BadRequest("body must be a JSON object")
+        prompt = req.get("prompt")
+        if not isinstance(prompt, str) or not prompt.strip():
+            raise BadRequest("prompt (non-empty string) is required")
+        if len(prompt) > 10_000:
+            raise BadRequest("prompt too long (max 10000 chars)")
+        neg = req.get("negative_prompt")
+        if neg is not None and not isinstance(neg, str):
+            raise BadRequest("negative_prompt must be a string")
+        width = _int_field(req, "width", args.width, 16, 2048)
+        height = _int_field(req, "height", args.height, 16, 2048)
+        if width % 16 or height % 16:
+            # latent grid = pixels/8, patched by 2 — the same multiple-of-
+            # 16 contract as the CLI; reject instead of silently rounding
+            raise BadRequest("width/height must be multiples of 16")
+        steps = _int_field(req, "steps", args.steps, 1, 200)
+        g = req.get("guidance_scale", args.guidance_scale)
+        if not isinstance(g, (int, float)) or isinstance(g, bool) \
+                or not 0.0 <= float(g) <= 30.0:
+            raise BadRequest("guidance_scale must be a number in [0, 30]")
+        sampler = req.get("sampler", args.sampler)
+        if sampler not in SAMPLERS:
+            raise BadRequest(f"sampler must be one of {sorted(SAMPLERS)}")
+        if "seed" in req:
+            seed = _int_field(req, "seed", None, 0, 2**31 - 1)
+        else:
+            with seed_lock:
+                seed = next(auto_seed)
+        return dict(prompt=prompt, negative_prompt=neg or None,
+                    width=width, height=height, steps=steps,
+                    guidance_scale=float(g), sampler=sampler, seed=seed)
+
+    class Handler(BaseHTTPRequestHandler):
+        # one readiness probe shouldn't log; generation requests do
+        def log_message(self, fmt, *a):
+            if "/healthz" not in (a[0] if a else ""):
+                logger.info("http %s", fmt % a)
+
+        def _json(self, code, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._json(200, {
+                    "status": "ok", "model": args.model,
+                    "quantize": bool(args.quantize), "tp": args.tp,
+                    "default": {"width": args.width, "height": args.height,
+                                "steps": args.steps},
+                })
+            else:
+                self._json(404, {"error": "unknown path (try /generate)"})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                return self._json(404, {"error": "POST /generate only"})
+            try:
+                length = int(self.headers.get("Content-Length") or 0)
+                req = json.loads(self.rfile.read(length) or b"{}")
+            except (ValueError, UnicodeDecodeError):
+                return self._json(400, {"error": "invalid JSON body"})
+            try:
+                r = _parse_request(req)
+            except BadRequest as e:
+                return self._json(400, {"error": str(e)})
+            try:
+                t0 = time.perf_counter()
+                with device_lock:
+                    out = pipe(
+                        prompt=r["prompt"],
+                        negative_prompt=r["negative_prompt"],
+                        height=r["height"], width=r["width"],
+                        num_inference_steps=r["steps"],
+                        guidance_scale=r["guidance_scale"],
+                        guidance_interval=args.guidance_interval,
+                        seed=r["seed"],
+                        steps_per_dispatch=args.steps_per_dispatch,
+                        sampler=r["sampler"],
+                    )
+                dt = time.perf_counter() - t0
+            except Exception:
+                logger.exception("generation failed")
+                return self._json(500, {"error": "generation failed "
+                                                 "(see server log)"})
+            png = png_bytes_with_metadata(out.images[0], {
+                **{k: v for k, v in r.items() if k != "steps"},
+                "steps": r["steps"], "model": args.model,
+                "quantize": args.quantize or None,
+                "guidance_interval": args.guidance_interval,
+            })
+            self.send_response(200)
+            self.send_header("Content-Type", "image/png")
+            self.send_header("Content-Length", str(len(png)))
+            self.send_header("X-F-Lite-Seed", str(r["seed"]))
+            self.send_header("X-F-Lite-Seconds", f"{dt:.2f}")
+            self.end_headers()
+            self.wfile.write(png)
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    server.daemon_threads = True
+    return server
+
+
+def run_http(pipe, args):
+    """Warm the default shape, then serve until interrupted."""
+    logger.info("pre-compiling the default shape %dx%d/%d steps...",
+                args.width, args.height, args.steps)
+    pipe.warmup(resolutions=((args.height, args.width),),
+                num_inference_steps=args.steps,
+                guidance_scale=args.guidance_scale)
+    server = make_http_server(pipe, args, host=args.http_host,
+                              port=args.http_port)
+    logger.info("serving on http://%s:%d (POST /generate)",
+                *server.server_address[:2])
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        logger.info("shutting down")
+    finally:
+        server.server_close()
+    return None
 
 
 def _dummy_inputs(cfg):

@@ -29,19 +29,33 @@ def save_with_metadata(img: Image.Image, path, params: dict) -> None:
     reproducible from the file alone (the A1111/ComfyUI convention of
     parameter-stamped outputs). Non-PNG suffixes fall back to a plain
     save (JPEG has no tEXt)."""
+    if str(path).lower().endswith((".png",)):
+        img.save(path, pnginfo=_png_info(params))
+    else:
+        img.save(path)
+
+
+def _png_info(params: dict):
     import json
 
     from PIL.PngImagePlugin import PngInfo
 
-    if str(path).lower().endswith((".png",)):
-        info = PngInfo()
-        clean = {k: v for k, v in params.items() if v is not None}
-        for k, v in clean.items():
-            info.add_text(f"f-lite:{k}", str(v))
-        info.add_text("f-lite:parameters", json.dumps(clean))
-        img.save(path, pnginfo=info)
-    else:
-        img.save(path)
+    info = PngInfo()
+    clean = {k: v for k, v in params.items() if v is not None}
+    for k, v in clean.items():
+        info.add_text(f"f-lite:{k}", str(v))
+    info.add_text("f-lite:parameters", json.dumps(clean))
+    return info
+
+
+def png_bytes_with_metadata(img: Image.Image, params: dict) -> bytes:
+    """PNG-encode with the same tEXt parameter stamping as
+    `save_with_metadata`, returned as bytes (HTTP serving path)."""
+    import io
+
+    buf = io.BytesIO()
+    img.save(buf, format="PNG", pnginfo=_png_info(params))
+    return buf.getvalue()
 
 
 def read_metadata(path) -> dict:

@@ -73,3 +73,143 @@ class TestServe:
             "--output_dir", str(out),
         ])
         assert len(manifest["images"]) == 2
+
+    def test_mode_selection_requires_exactly_one(self, model_dir):
+        from f_lite_tpu.serve import main
+
+        with pytest.raises(SystemExit, match="exactly one"):
+            main(["--model", str(model_dir)])
+        with pytest.raises(SystemExit, match="exactly one"):
+            main(["--model", str(model_dir), "--prompts", "x.txt",
+                  "--http_port", "8080"])
+
+
+class TestHTTP:
+    """HTTP endpoint over an in-memory tiny pipeline (port 0 = ephemeral)."""
+
+    @pytest.fixture(scope="class")
+    def server(self, model_dir):
+        import threading
+
+        from f_lite_tpu.serve import build_pipeline, make_http_server, \
+            parse_args
+
+        args = parse_args([
+            "--model", str(model_dir), "--http_port", "0",
+            "--width", "16", "--height", "16", "--steps", "1",
+            "--no_text_encoder",
+        ])
+        pipe = build_pipeline(args)
+        srv = make_http_server(pipe, args, port=0)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        yield srv
+        srv.shutdown()
+        srv.server_close()
+
+    def _url(self, server, path):
+        host, port = server.server_address[:2]
+        return f"http://{host}:{port}{path}"
+
+    def _post(self, server, body: dict):
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(
+            self._url(server, "/generate"),
+            data=json.dumps(body).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=120) as resp:
+                return resp.status, dict(resp.headers), resp.read()
+        except urllib.error.HTTPError as e:
+            return e.code, dict(e.headers), e.read()
+
+    def test_healthz(self, server):
+        import urllib.request
+
+        with urllib.request.urlopen(
+            self._url(server, "/healthz"), timeout=30
+        ) as resp:
+            body = json.loads(resp.read())
+        assert body["status"] == "ok"
+        assert body["default"]["width"] == 16
+
+    def test_generate_returns_stamped_png(self, server, tmp_path):
+        status, headers, body = self._post(server, {"prompt": "a cat"})
+        assert status == 200, body
+        assert headers["Content-Type"] == "image/png"
+        f = tmp_path / "out.png"
+        f.write_bytes(body)
+        from f_lite_tpu.utils.image import read_metadata
+
+        meta = read_metadata(f)
+        assert meta["prompt"] == "a cat"
+        assert meta["seed"] == int(headers["X-F-Lite-Seed"])
+        # auto-seeds advance: identical bodies -> different seeds
+        s2, h2, _ = self._post(server, {"prompt": "a cat"})
+        assert s2 == 200
+        assert int(h2["X-F-Lite-Seed"]) != meta["seed"]
+
+    def test_generate_explicit_seed_and_shape(self, server, tmp_path):
+        status, headers, body = self._post(server, {
+            "prompt": "a dog", "seed": 7, "width": 32, "height": 16,
+            "steps": 2,
+        })
+        assert status == 200, body
+        assert headers["X-F-Lite-Seed"] == "7"
+        f = tmp_path / "o.png"
+        f.write_bytes(body)
+        from PIL import Image
+
+        with Image.open(f) as im:
+            assert im.size == (32, 16)
+
+    @pytest.mark.parametrize("body,frag", [
+        ({}, "prompt"),
+        ({"prompt": ""}, "prompt"),
+        ({"prompt": "x", "width": 20}, "multiples of 16"),
+        ({"prompt": "x", "width": 4096}, "width"),
+        ({"prompt": "x", "steps": 0}, "steps"),
+        ({"prompt": "x", "seed": -1}, "seed"),
+        ({"prompt": "x", "sampler": "nope"}, "sampler"),
+        ({"prompt": "x", "guidance_scale": "six"}, "guidance_scale"),
+    ])
+    def test_bad_requests_are_400(self, server, body, frag):
+        status, _, resp = self._post(server, body)
+        assert status == 400
+        assert frag in json.loads(resp)["error"]
+
+    def test_invalid_json_is_400(self, server):
+        import urllib.error
+        import urllib.request
+
+        req = urllib.request.Request(
+            self._url(server, "/generate"), data=b"{nope",
+            headers={"Content-Type": "application/json"},
+        )
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(req, timeout=30)
+        assert ei.value.code == 400
+
+    def test_unknown_paths_404(self, server):
+        import urllib.error
+        import urllib.request
+
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(self._url(server, "/nope"), timeout=30)
+        assert ei.value.code == 404
+
+    def test_concurrent_requests_serialize_on_the_device_lock(self, server):
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(3) as ex:
+            rs = list(ex.map(
+                lambda i: self._post(server, {"prompt": f"p{i}",
+                                              "seed": i}),
+                range(3),
+            ))
+        assert all(r[0] == 200 for r in rs)
+        seeds = sorted(int(r[1]["X-F-Lite-Seed"]) for r in rs)
+        assert seeds == [0, 1, 2]
