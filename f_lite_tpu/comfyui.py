@@ -116,16 +116,12 @@ class FLiteNode:
             # masked/repaint — same polarity as the pipeline. Hand the
             # pipeline per-frame (H, W) float arrays (it bilinear-resizes
             # to the latent grid; a (B, H, W) array would be misread as
-            # (H, W, C))
+            # (H, W, C)). A single mask broadcasts over batched IMAGE
+            # frames inside the pipeline (_preprocess_mask).
             m = np.asarray(mask, np.float32)
             if m.ndim == 2:
                 m = m[None]
-            mask_images = [f for f in m]
-            n_img = len(init_images) if isinstance(init_images, list) else 1
-            if len(mask_images) == 1 and n_img > 1:
-                mask_images = mask_images * n_img  # broadcast like ComfyUI
-            if len(mask_images) == 1:
-                mask_images = mask_images[0]
+            mask_images = list(m) if m.shape[0] > 1 else m[0]
 
         pipe = _get_pipeline(model, vae_tiling)
         # a batched IMAGE input (B frames) generates one variation per

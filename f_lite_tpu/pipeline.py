@@ -564,6 +564,7 @@ class FLitePipeline:
         mask_image: Any = None,
         guidance_interval: tuple | None = None,
         sampler: str = "euler",
+        pad_context_to: int | None = None,
     ):
         """Generate images. Beyond the reference surface
         (`pipeline.py:188-202`):
@@ -608,6 +609,11 @@ class FLitePipeline:
           field — measure on your checkpoint before lowering
           num_inference_steps (random-weight fields show no benefit:
           PERF.md "ab2 sampler", tools/sampler_order_audit.py).
+        - `pad_context_to`: zero-pad the text context (and its mask) up
+          to the next multiple of this bucket, exactly — masked keys do
+          not attend — so prompts of any length share a few compiled
+          denoise shapes instead of one per padded-to-8 text length
+          (serving: `serve.py --text_bucket`). None = reference padding.
         """
         apg = apg_config if (apg_config and apg_config.enabled) else None
 
@@ -628,6 +634,16 @@ class FLitePipeline:
                 else np.ones(embeds.shape[:2], bool)
             )
             neg_mask = mask
+
+        if pad_context_to:
+            # round the context length up to the next multiple (exact:
+            # padded keys carry mask=0, which the attention drops) so
+            # arbitrary prompt lengths share a handful of compiled shapes
+            # instead of one jit key per padded-to-8 length — the HTTP
+            # serving path's compile stability knob
+            t = -(-embeds.shape[1] // pad_context_to) * pad_context_to
+            embeds, mask = _pad_seq(embeds, mask, t)
+            neg, neg_mask = _pad_seq(neg, neg_mask, t)
 
         if num_images_per_prompt > 1:
             embeds = np.repeat(embeds, num_images_per_prompt, axis=0)

@@ -48,6 +48,13 @@ def parse_args(argv=None):
                         "a prompts file (POST /generate, GET /healthz)")
     p.add_argument("--http_host", default="127.0.0.1",
                    help="HTTP bind address (0.0.0.0 to expose)")
+    p.add_argument("--text_bucket", type=int, default=128,
+                   help="HTTP mode: zero-pad the text context up to the "
+                        "next multiple of this (exact — masked keys do "
+                        "not attend) so any prompt length hits one of a "
+                        "few pre-compilable denoise shapes; 0 = pad to "
+                        "the per-prompt multiple-of-8 length (reference "
+                        "behavior, one compile per distinct length)")
     # batch 1 is the optimal single-chip config (PERF.md: batch-1 already
     # saturates the MXU at 7B/1024px; batching pays off across chips)
     p.add_argument("--batch_size", type=int, default=1)
@@ -151,22 +158,26 @@ def build_pipeline(args):
 def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     args = parse_args(argv)
-    if bool(args.prompts) == bool(args.http_port):
+    # `is None` (not truthiness): --http_port 0 = ephemeral port
+    if (args.prompts is None) == (args.http_port is None):
         raise SystemExit(
             "pass exactly one of --prompts (batch mode) or "
             "--http_port (HTTP endpoint mode)"
         )
 
+    if args.prompts is not None:
+        # read + validate before the (multi-minute at 7B) model load so
+        # a typo'd path fails immediately
+        prompts = [
+            l.strip() for l in Path(args.prompts).read_text().splitlines()
+            if l.strip()
+        ]
+        if not prompts:
+            raise SystemExit(f"no prompts in {args.prompts}")
+
     pipe = build_pipeline(args)
     if args.http_port is not None:
         return run_http(pipe, args)
-
-    prompts = [
-        l.strip() for l in Path(args.prompts).read_text().splitlines()
-        if l.strip()
-    ]
-    if not prompts:
-        raise SystemExit(f"no prompts in {args.prompts}")
 
     out_dir = Path(args.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
@@ -311,10 +322,18 @@ def make_http_server(pipe, args, host="127.0.0.1", port=0):
                     guidance_scale=float(g), sampler=sampler, seed=seed)
 
     class Handler(BaseHTTPRequestHandler):
-        # one readiness probe shouldn't log; generation requests do
+        # cap on request reads: a client that stops sending mid-body (or
+        # never sends one) releases its daemon thread instead of pinning
+        # it forever
+        timeout = 120
+
+        # one readiness probe shouldn't log; generation requests do.
+        # NB: stdlib send_error logs with a non-string first arg
+        # (HTTPStatus) — format first, filter on the result
         def log_message(self, fmt, *a):
-            if "/healthz" not in (a[0] if a else ""):
-                logger.info("http %s", fmt % a)
+            msg = fmt % a
+            if "/healthz" not in msg:
+                logger.info("http %s", msg)
 
         def _json(self, code, obj):
             body = json.dumps(obj).encode()
@@ -340,6 +359,15 @@ def make_http_server(pipe, args, host="127.0.0.1", port=0):
                 return self._json(404, {"error": "POST /generate only"})
             try:
                 length = int(self.headers.get("Content-Length") or 0)
+            except ValueError:
+                return self._json(400, {"error": "bad Content-Length"})
+            if not 0 <= length <= 1 << 20:
+                # bound the buffered body BEFORE reading it: an exposed
+                # server must not allocate client-declared sizes (the
+                # 10k prompt cap checks far less than read() would buffer)
+                return self._json(413, {"error": "body too large "
+                                                 "(max 1 MiB)"})
+            try:
                 req = json.loads(self.rfile.read(length) or b"{}")
             except (ValueError, UnicodeDecodeError):
                 return self._json(400, {"error": "invalid JSON body"})
@@ -348,27 +376,18 @@ def make_http_server(pipe, args, host="127.0.0.1", port=0):
             except BadRequest as e:
                 return self._json(400, {"error": str(e)})
             try:
-                t0 = time.perf_counter()
                 with device_lock:
-                    out = pipe(
-                        prompt=r["prompt"],
-                        negative_prompt=r["negative_prompt"],
-                        height=r["height"], width=r["width"],
-                        num_inference_steps=r["steps"],
-                        guidance_scale=r["guidance_scale"],
-                        guidance_interval=args.guidance_interval,
-                        seed=r["seed"],
-                        steps_per_dispatch=args.steps_per_dispatch,
-                        sampler=r["sampler"],
-                    )
-                dt = time.perf_counter() - t0
+                    # timed inside the lock: X-F-Lite-Seconds is device
+                    # time, not queue wait
+                    t0 = time.perf_counter()
+                    out = _serve_generate(pipe, args, r)
+                    dt = time.perf_counter() - t0
             except Exception:
                 logger.exception("generation failed")
                 return self._json(500, {"error": "generation failed "
                                                  "(see server log)"})
             png = png_bytes_with_metadata(out.images[0], {
-                **{k: v for k, v in r.items() if k != "steps"},
-                "steps": r["steps"], "model": args.model,
+                **r, "model": args.model,
                 "quantize": args.quantize or None,
                 "guidance_interval": args.guidance_interval,
             })
@@ -385,13 +404,42 @@ def make_http_server(pipe, args, host="127.0.0.1", port=0):
     return server
 
 
+def _serve_generate(pipe, args, r: dict):
+    """The one generation call both the HTTP handler and its warmup use —
+    identical call = identical jit key, so warming really pre-compiles
+    what requests will run (launch-flag sampler/guidance_interval/
+    dispatch chunking and the --text_bucket context padding included)."""
+    return pipe(
+        prompt=r["prompt"],
+        negative_prompt=r["negative_prompt"],
+        height=r["height"], width=r["width"],
+        num_inference_steps=r["steps"],
+        guidance_scale=r["guidance_scale"],
+        guidance_interval=args.guidance_interval,
+        seed=r["seed"],
+        steps_per_dispatch=args.steps_per_dispatch,
+        sampler=r["sampler"],
+        pad_context_to=args.text_bucket or None,
+    )
+
+
 def run_http(pipe, args):
     """Warm the default shape, then serve until interrupted."""
     logger.info("pre-compiling the default shape %dx%d/%d steps...",
                 args.width, args.height, args.steps)
-    pipe.warmup(resolutions=((args.height, args.width),),
-                num_inference_steps=args.steps,
-                guidance_scale=args.guidance_scale)
+    # one real request through the exact serving path (text encode ->
+    # bucketed context -> denoise -> decode); without --text_bucket the
+    # denoise jit key depends on the prompt's padded length and true
+    # pre-compilation is impossible (warn below)
+    if not args.text_bucket:
+        logger.warning(
+            "--text_bucket 0: each distinct prompt length compiles its "
+            "own denoise program — first requests will be slow")
+    _serve_generate(pipe, args, dict(
+        prompt="warmup", negative_prompt=None,
+        width=args.width, height=args.height, steps=args.steps,
+        guidance_scale=args.guidance_scale, sampler=args.sampler, seed=0,
+    ))
     server = make_http_server(pipe, args, host=args.http_host,
                               port=args.http_port)
     logger.info("serving on http://%s:%d (POST /generate)",

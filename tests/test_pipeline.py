@@ -104,6 +104,21 @@ class TestPipeline:
                    seed=0, return_latents=True)
         assert out.images.shape == (1, 8, 8, 4)  # /2 tiny VAE scale
 
+    def test_pad_context_to_is_exact(self, pipe):
+        """Bucketed context padding (HTTP serving's compile-stability
+        knob) must not change the result: padded keys carry mask=0 and
+        never attend. Encoder emits len 8; the bucket pads to 64."""
+        kw = dict(prompt="q", height=16, width=16, num_inference_steps=2,
+                  seed=3, return_latents=True)
+        base = np.asarray(pipe(**kw).images)
+        padded = np.asarray(pipe(**kw, pad_context_to=64).images)
+        np.testing.assert_allclose(padded, base, atol=2e-6, rtol=0)
+        # rounds UP to the next multiple: a 200-token-equivalent request
+        # at bucket 64 would use 256; here 8 -> 64 (shape checked via a
+        # second bucket producing the same exact output)
+        p2 = np.asarray(pipe(**kw, pad_context_to=16).images)
+        np.testing.assert_allclose(p2, base, atol=2e-6, rtol=0)
+
 
 class TestSaveLoad:
     def test_roundtrip(self, pipe, tmp_path):

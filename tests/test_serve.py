@@ -181,6 +181,23 @@ class TestHTTP:
         assert status == 400
         assert frag in json.loads(resp)["error"]
 
+    def test_oversized_body_is_413_without_buffering(self, server):
+        """The body cap must be enforced from the declared length, BEFORE
+        the server reads/buffers it."""
+        import http.client
+
+        host, port = server.server_address[:2]
+        conn = http.client.HTTPConnection(host, port, timeout=30)
+        conn.putrequest("POST", "/generate")
+        conn.putheader("Content-Type", "application/json")
+        conn.putheader("Content-Length", str(1 << 31))  # 2 GiB declared
+        conn.endheaders()
+        # send nothing beyond headers: a server that tried to read the
+        # declared size would block; the cap answers immediately
+        resp = conn.getresponse()
+        assert resp.status == 413
+        conn.close()
+
     def test_invalid_json_is_400(self, server):
         import urllib.error
         import urllib.request
