@@ -49,11 +49,11 @@ def parse_args(argv=None):
     p.add_argument("--http_host", default="127.0.0.1",
                    help="HTTP bind address (0.0.0.0 to expose)")
     p.add_argument("--text_bucket", type=int, default=128,
-                   help="HTTP mode: zero-pad the text context up to the "
-                        "next multiple of this (exact — masked keys do "
-                        "not attend) so any prompt length hits one of a "
-                        "few pre-compilable denoise shapes; 0 = pad to "
-                        "the per-prompt multiple-of-8 length (reference "
+                   help="zero-pad the text context up to the next "
+                        "multiple of this (exact — masked keys do not "
+                        "attend) so any prompt length hits one of a few "
+                        "pre-compilable denoise shapes; 0 = pad to the "
+                        "per-prompt multiple-of-8 length (reference "
                         "behavior, one compile per distinct length)")
     # batch 1 is the optimal single-chip config (PERF.md: batch-1 already
     # saturates the MXU at 7B/1024px; batching pays off across chips)
@@ -207,6 +207,11 @@ def main(argv=None):
             seed=args.seed + bi,
             steps_per_dispatch=args.steps_per_dispatch,
             sampler=args.sampler,
+            # without the bucket, the denoise jit key tracks each batch's
+            # longest-prompt padded-to-8 text length — N batches could
+            # mean N compiles; with it, "one compilation per (batch,
+            # resolution, steps) key" (module docstring) actually holds
+            pad_context_to=args.text_bucket or None,
         )
         dt = time.perf_counter() - t0
         for j, img in enumerate(out.images):
