@@ -156,8 +156,8 @@ def build_app(model_path: str, output_dir: str = "outputs",
 
     def generate(prompt, negative, prefix, suffix, preset, steps, guidance,
                  use_apg, apg_threshold, seed, lock_seed, forever,
-                 use_superprompt, init_image=None, strength=0.8,
-                 sampler="euler"):
+                 use_superprompt, init_image=None, mask_image=None,
+                 strength=0.8, sampler="euler"):
         controller.reset()
         pipe = get_pipeline(model_path)
         width, height = PRESET_RESOLUTIONS[preset]
@@ -182,6 +182,9 @@ def build_app(model_path: str, output_dir: str = "outputs",
                 # (the reference GUI's step-callback cancel, `:87-109`)
                 callback=lambda done, total: controller.should_stop,
                 image=init_image,
+                # a mask uploaded without an input image is ignored (the
+                # accordion pairs them; the pipeline would reject it)
+                mask_image=mask_image if init_image is not None else None,
                 strength=float(strength),
                 sampler=sampler,
             )
@@ -196,6 +199,8 @@ def build_app(model_path: str, output_dir: str = "outputs",
                 "apg": bool(use_apg) or None,
                 "strength": float(strength) if init_image is not None
                 else None,
+                "inpaint": (init_image is not None and
+                            mask_image is not None) or None,
                 "sampler": sampler,
                 "model": model_path,
             })
@@ -238,6 +243,10 @@ def build_app(model_path: str, output_dir: str = "outputs",
                     init_image = gr.Image(
                         label="Input image (optional)", type="pil",
                     )
+                    mask_image = gr.Image(
+                        label="Inpaint mask (optional; white = repaint, "
+                              "black = keep, gray blends)", type="pil",
+                    )
                     strength = gr.Slider(
                         0.05, 1.0, 0.8, step=0.05, label="Strength",
                     )
@@ -251,7 +260,8 @@ def build_app(model_path: str, output_dir: str = "outputs",
             generate,
             [prompt, negative, prefix, suffix, preset, steps, guidance,
              use_apg, apg_threshold, seed, lock_seed, forever,
-             use_superprompt, init_image, strength, sampler],
+             use_superprompt, init_image, mask_image, strength,
+             sampler],
             [gallery, last_path, used_seed],
         )
         stop.click(lambda: controller.request_stop(), [], [])
