@@ -105,6 +105,12 @@ def use_mesh_rules(mesh: Mesh, rules=LOGICAL_RULES) -> None:
     _ACTIVE_MESH_RULES.set((mesh, tuple(rules)))
 
 
+def clear_mesh_rules() -> None:
+    """Undo `use_mesh_rules` (tests that A/B sharded vs unsharded paths
+    in one process must not let a sticky mesh leak into the baseline)."""
+    _ACTIVE_MESH_RULES.set(None)
+
+
 def create_mesh(
     dp: int = 1, fsdp: int = 1, tp: int = 1, pp: int = 1, *, devices=None
 ) -> Mesh:

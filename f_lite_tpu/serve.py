@@ -9,7 +9,13 @@ is one dispatch per batch.
 
   python -m f_lite_tpu.serve --model <dir> --prompts prompts.txt \
       --batch_size 4 --width 1024 --height 1024 --steps 30 \
-      [--precomputed_dir <cache>] [--tp 4] --output_dir outs/
+      [--precomputed_dir <cache>] [--tp 4] [--dp 2] --output_dir outs/
+
+Multi-chip scaling is two orthogonal axes on one mesh: `--tp N` shards
+every projection Megatron-style (cuts per-image latency, the <4 s p50
+v5e-8 path), `--dp N` shards the batch (throughput: images/min scales
+with chips at constant latency — each dp shard denoises batch/dp rows
+with no cross-shard communication beyond the CFG row exchange).
 
 HTTP mode (`--http_port`) serves the same pipeline as an endpoint
 (stdlib-only, no new dependencies): `POST /generate` with a JSON body
@@ -71,7 +77,14 @@ def parse_args(argv=None):
     p.add_argument("--precomputed_dir", type=str, default=None,
                    help="serve text embeddings from a precompute cache")
     p.add_argument("--tp", type=int, default=1,
-                   help="tensor-parallel ways over local devices")
+                   help="tensor-parallel ways over local devices "
+                        "(cuts per-image latency)")
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel ways over local devices: the batch "
+                        "is sharded --dp ways, so images/min scales with "
+                        "chips at batch-1-per-chip latency (throughput "
+                        "axis; combines with --tp — dp*tp devices). "
+                        "--batch_size must be divisible by --dp")
     p.add_argument("--output_dir", type=str, default="outputs")
     p.add_argument("--no_text_encoder", action="store_true")
     p.add_argument("--quantize", action="store_true",
@@ -94,13 +107,21 @@ def parse_args(argv=None):
 def build_pipeline(args):
     """Pipeline construction shared by batch and HTTP modes: load (with
     optional int8 quantization / head padding), wire the text-encoder
-    choice, shard tensor-parallel when --tp > 1."""
+    choice, shard over a (dp, tp) mesh when --dp/--tp > 1."""
     import jax
 
     from f_lite_tpu.pipeline import FLitePipeline
     from f_lite_tpu.utils.env import enable_compilation_cache
 
     enable_compilation_cache()
+    if args.dp < 1 or args.tp < 1:
+        raise SystemExit("--dp/--tp must be >= 1")
+    n_mesh = args.dp * args.tp
+    if n_mesh > len(jax.devices()):
+        raise SystemExit(
+            f"--dp {args.dp} x --tp {args.tp} = {n_mesh} devices, but only "
+            f"{len(jax.devices())} are visible"
+        )
 
     pad_heads_to = None
     if args.tp > 1:
@@ -133,12 +154,18 @@ def build_pipeline(args):
             embed_dim=pipe.dit_model.config.cross_attn_input_size
         )
 
-    if args.tp > 1:
+    if n_mesh > 1:
         from f_lite_tpu.parallel import create_mesh, infer_param_shardings, \
             shard_params
 
-        mesh = create_mesh(dp=1, fsdp=1, tp=args.tp,
-                           devices=jax.devices()[: args.tp])
+        # dp replicates the params (no param logical axis maps to dp) and
+        # shards the batch: the `act_batch -> (dp, fsdp)` rule splits every
+        # model activation's rows across dp — embarrassingly parallel but
+        # for the CFG concat/split at each step's boundary, which exchanges
+        # latent-sized rows (~0.5 MB at 1024px: noise on ICI). tp is the
+        # Megatron latency axis; the two compose on one mesh.
+        mesh = create_mesh(dp=args.dp, fsdp=1, tp=args.tp,
+                           devices=jax.devices()[:n_mesh])
         model = pipe.dit_model
 
         def boxed_init():
@@ -151,7 +178,8 @@ def build_pipeline(args):
         from f_lite_tpu.parallel.mesh import use_mesh_rules
 
         use_mesh_rules(mesh)
-        logger.info("sharded DiT tensor-parallel over %d chips", args.tp)
+        logger.info("sharded DiT over %d chips (dp=%d, tp=%d)",
+                    n_mesh, args.dp, args.tp)
     return pipe
 
 
@@ -164,6 +192,19 @@ def main(argv=None):
             "pass exactly one of --prompts (batch mode) or "
             "--http_port (HTTP endpoint mode)"
         )
+
+    if args.dp > 1:
+        if args.http_port is not None:
+            raise SystemExit(
+                "--dp > 1 applies to batch mode; HTTP serving is batch-1 "
+                "(use --tp to cut latency, or run one server per chip "
+                "behind a load balancer)"
+            )
+        if args.batch_size % args.dp:
+            raise SystemExit(
+                f"--batch_size {args.batch_size} must be divisible by "
+                f"--dp {args.dp} (each dp shard denoises batch/dp rows)"
+            )
 
     if args.prompts is not None:
         # read + validate before the (multi-minute at 7B) model load so

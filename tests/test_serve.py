@@ -74,6 +74,63 @@ class TestServe:
         ])
         assert len(manifest["images"]) == 2
 
+    def test_dp_serving_matches_single_device(self, model_dir, tmp_path):
+        """--dp shards the batch across chips; same seeds, same batching
+        -> the images must match the unsharded run (throughput axis must
+        not change results)."""
+        import numpy as np
+        from PIL import Image
+
+        from f_lite_tpu.parallel.mesh import clear_mesh_rules
+        from f_lite_tpu.serve import main
+
+        pf = tmp_path / "p.txt"
+        pf.write_text("a\nb\nc\nd\n")
+        outs = {}
+        for name, extra in (
+            ("base", []),
+            ("dp", ["--dp", "2"]),
+            ("dp_tp", ["--dp", "2", "--tp", "2"]),
+        ):
+            out = tmp_path / name
+            clear_mesh_rules()  # no sticky mesh from a previous run
+            main([
+                "--model", str(model_dir),
+                "--prompts", str(pf),
+                "--batch_size", "2",
+                "--width", "16", "--height", "16",
+                "--steps", "2",
+                "--no_text_encoder",
+                "--output_dir", str(out),
+            ] + extra)
+            outs[name] = [
+                np.asarray(Image.open(out / f"{i:05d}.png"), np.float32)
+                for i in range(4)
+            ]
+        clear_mesh_rules()
+        for name in ("dp", "dp_tp"):
+            for i in range(4):
+                # dp only re-partitions batch rows (bitwise-grade); tp
+                # splits contractions (reduction order changes at fp32)
+                assert np.max(np.abs(outs[name][i] - outs["base"][i])) \
+                    <= 2.0, (name, i)
+
+    def test_dp_validation(self, model_dir, tmp_path):
+        from f_lite_tpu.serve import main
+
+        pf = tmp_path / "p.txt"
+        pf.write_text("x\n")
+        with pytest.raises(SystemExit, match="divisible by"):
+            main(["--model", str(model_dir), "--prompts", str(pf),
+                  "--batch_size", "3", "--dp", "2"])
+        with pytest.raises(SystemExit, match="batch mode"):
+            main(["--model", str(model_dir), "--http_port", "0",
+                  "--dp", "2"])
+        with pytest.raises(SystemExit, match="devices"):
+            main(["--model", str(model_dir), "--prompts", str(pf),
+                  "--batch_size", "16", "--dp", "16", "--width", "16",
+                  "--height", "16", "--no_text_encoder"])
+
     def test_mode_selection_requires_exactly_one(self, model_dir):
         from f_lite_tpu.serve import main
 
