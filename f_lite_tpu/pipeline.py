@@ -554,6 +554,7 @@ class FLitePipeline:
         prompt_embeds: np.ndarray | None = None,
         negative_embeds: np.ndarray | None = None,
         context_mask: np.ndarray | None = None,
+        negative_context_mask: np.ndarray | None = None,
         latents: jax.Array | None = None,
         output_type: str = "pil",
         return_latents: bool = False,
@@ -633,7 +634,23 @@ class FLitePipeline:
                 if context_mask is not None
                 else np.ones(embeds.shape[:2], bool)
             )
-            neg_mask = mask
+            # an asymmetric negative (own length/padding) keeps its own
+            # key mask on the embeds path too — the HTTP batcher mixes
+            # rows whose negative prompts tokenize to different lengths
+            if negative_context_mask is not None:
+                neg_mask = negative_context_mask
+            elif neg.shape[1] == embeds.shape[1]:
+                neg_mask = mask
+            else:
+                # no mask supplied for a different-length negative: all
+                # its keys are real (zero-pad below carries mask=0)
+                neg_mask = np.ones(neg.shape[:2], bool)
+            if neg.shape[1] != embeds.shape[1]:
+                # align like encode_prompt does for the prompt path (a
+                # zero-padded key carries mask=0: exact)
+                s = max(embeds.shape[1], neg.shape[1])
+                embeds, mask = _pad_seq(embeds, mask, s)
+                neg, neg_mask = _pad_seq(neg, neg_mask, s)
 
         if pad_context_to:
             # round the context length up to the next multiple (exact:

@@ -26,7 +26,9 @@ before the port binds, so the first request is fast; off-default shapes
 compile once (persistent cache) and must be multiples of 16, capped at
 2048 (the single-chip HBM guardrail — PERF.md 2048px datum). Device work
 is serialized by a lock — concurrent requests queue (batch-1 is the
-optimal single-chip config, PERF.md).
+optimal single-chip config, PERF.md). With `--dp N` queued same-shape
+requests are instead microbatched into one dp-sharded dispatch
+(RequestBatcher): N concurrent requests cost ~one request's latency.
 
   python -m f_lite_tpu.serve --model <dir> --http_port 8080 --quantize
 """
@@ -84,7 +86,14 @@ def parse_args(argv=None):
                         "is sharded --dp ways, so images/min scales with "
                         "chips at batch-1-per-chip latency (throughput "
                         "axis; combines with --tp — dp*tp devices). "
-                        "--batch_size must be divisible by --dp")
+                        "Batch mode: --batch_size must be divisible by "
+                        "--dp. HTTP mode: queued same-shape requests are "
+                        "microbatched into one dp-sharded dispatch")
+    p.add_argument("--batch_window_ms", type=float, default=100.0,
+                   help="HTTP + --dp > 1: how long the batcher waits for "
+                        "more same-shape requests before dispatching a "
+                        "partial batch (adds at most this to latency; "
+                        "~1%% of a 7B 1024px generation at the default)")
     p.add_argument("--output_dir", type=str, default="outputs")
     p.add_argument("--no_text_encoder", action="store_true")
     p.add_argument("--quantize", action="store_true",
@@ -193,18 +202,12 @@ def main(argv=None):
             "--http_port (HTTP endpoint mode)"
         )
 
-    if args.dp > 1:
-        if args.http_port is not None:
-            raise SystemExit(
-                "--dp > 1 applies to batch mode; HTTP serving is batch-1 "
-                "(use --tp to cut latency, or run one server per chip "
-                "behind a load balancer)"
-            )
-        if args.batch_size % args.dp:
-            raise SystemExit(
-                f"--batch_size {args.batch_size} must be divisible by "
-                f"--dp {args.dp} (each dp shard denoises batch/dp rows)"
-            )
+    if args.dp > 1 and args.prompts is not None \
+            and args.batch_size % args.dp:
+        raise SystemExit(
+            f"--batch_size {args.batch_size} must be divisible by "
+            f"--dp {args.dp} (each dp shard denoises batch/dp rows)"
+        )
 
     if args.prompts is not None:
         # read + validate before the (multi-minute at 7B) model load so
@@ -293,7 +296,162 @@ def main(argv=None):
     return manifest
 
 
-def make_http_server(pipe, args, host="127.0.0.1", port=0):
+class RequestBatcher:
+    """Microbatch queued HTTP requests into one dp-sharded dispatch.
+
+    With `--dp N` the mesh denoises N batch rows at ~batch-1-per-chip
+    latency, so requests sharing a compiled shape (width, height, steps,
+    sampler, guidance_scale) are grouped: the dispatcher thread takes the
+    oldest queued request, waits up to `--batch_window_ms` for more with
+    the same key, pads the group to exactly N rows (repeating the last —
+    the jit key is always batch=N, one compiled program), and runs ONE
+    pipeline call. Per-request seeds are honored by stacking per-row
+    latents drawn exactly as a batch-1 call with that seed would, so row
+    i reproduces that request's solo image. FIFO head-of-line batching:
+    requests with a different shape key wait their turn (each new key is
+    a one-time compile, persistent-cache served).
+    """
+
+    def __init__(self, pipe, args, max_batch: int, window_s: float):
+        import threading
+
+        self.pipe, self.args = pipe, args
+        self.max_batch, self.window = max_batch, window_s
+        self._cv = threading.Condition()
+        self._q: list = []  # (key, request, Future)
+        self._stop = False
+        self._thread = threading.Thread(
+            target=self._loop, daemon=True, name="f-lite-batcher"
+        )
+        self._thread.start()
+
+    @staticmethod
+    def _key(r: dict):
+        return (r["width"], r["height"], r["steps"], r["sampler"],
+                r["guidance_scale"])
+
+    def submit(self, r: dict):
+        """Queue a parsed request; returns a Future of
+        (png_bytes, device_seconds, batch_rows)."""
+        from concurrent.futures import Future
+
+        f: Future = Future()
+        with self._cv:
+            if self._stop:
+                raise RuntimeError("batcher stopped")
+            self._q.append((self._key(r), r, f))
+            self._cv.notify_all()
+        return f
+
+    def stop(self):
+        with self._cv:
+            self._stop = True
+            self._cv.notify_all()
+        self._thread.join(timeout=5)
+
+    def _loop(self):
+        while True:
+            with self._cv:
+                while not self._q and not self._stop:
+                    self._cv.wait()
+                if self._stop:
+                    err = RuntimeError("server shutting down")
+                    for _, _, f in self._q:
+                        f.set_exception(err)
+                    self._q.clear()
+                    return
+                key = self._q[0][0]
+                deadline = time.monotonic() + self.window
+
+                def matching():
+                    return [i for i, (k, _, _) in enumerate(self._q)
+                            if k == key]
+
+                while len(matching()) < self.max_batch and not self._stop:
+                    left = deadline - time.monotonic()
+                    if left <= 0:
+                        break
+                    self._cv.wait(timeout=left)
+                idxs = matching()[: self.max_batch]
+                batch = [self._q[i] for i in idxs]
+                for i in reversed(idxs):
+                    del self._q[i]
+            t0 = time.perf_counter()
+            try:
+                pngs = self._generate(key, [r for _, r, _ in batch])
+                dt = time.perf_counter() - t0
+                for (_, _, f), png in zip(batch, pngs):
+                    f.set_result((png, dt, len(batch)))
+            except Exception as e:  # surface to every waiter, keep serving
+                logger.exception("batched generation failed")
+                for _, _, f in batch:
+                    if not f.done():
+                        f.set_exception(e)
+
+    def _generate(self, key, reqs: list[dict]) -> list[bytes]:
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from f_lite_tpu.utils.image import png_bytes_with_metadata
+
+        width, height, steps, sampler, g = key
+        pipe, args = self.pipe, self.args
+        n = len(reqs)
+        rows = reqs + [reqs[-1]] * (self.max_batch - n)
+        embeds, mask = pipe.text_encoder.encode([r["prompt"] for r in rows])
+        negs = [r["negative_prompt"] for r in rows]
+        if any(negs):
+            nemb, nmask = pipe.text_encoder.encode(
+                [x or "" for x in negs]
+            )
+            nemb = np.array(nemb, np.float32, copy=True)
+            nmask = np.array(nmask, bool, copy=True)
+            for i, x in enumerate(negs):
+                if not x:
+                    # reference zeros semantics for an absent negative,
+                    # exactly like a batch-1 call (`pipeline.py:161`)
+                    nemb[i] = 0.0
+                    nmask[i] = True
+        else:
+            nemb = np.zeros_like(np.asarray(embeds))
+            nmask = np.ones(np.asarray(mask).shape, bool)
+        cfg = pipe.dit_model.config
+        lh = height // pipe.vae_scale_factor
+        lw = width // pipe.vae_scale_factor
+        # one latent row per request seed == the batch-1 draw for that
+        # seed: batching must not change what a seed produces
+        lat = jnp.concatenate([
+            jax.random.normal(jax.random.key(r["seed"]),
+                              (1, lh, lw, cfg.in_channels), cfg.dtype)
+            for r in rows
+        ], axis=0)
+        out = pipe(
+            prompt_embeds=embeds,
+            negative_embeds=nemb,
+            context_mask=mask,
+            negative_context_mask=nmask,
+            latents=lat,
+            height=height, width=width,
+            num_inference_steps=steps,
+            guidance_scale=g,
+            guidance_interval=args.guidance_interval,
+            steps_per_dispatch=args.steps_per_dispatch,
+            sampler=sampler,
+            pad_context_to=args.text_bucket or None,
+        )
+        return [
+            png_bytes_with_metadata(img, {
+                **r, "model": args.model,
+                "quantize": args.quantize or None,
+                "guidance_interval": args.guidance_interval,
+                "batch_size": self.max_batch, "batch_index": i,
+            })
+            for i, (img, r) in enumerate(zip(out.images[:n], reqs))
+        ]
+
+
+def make_http_server(pipe, args, host="127.0.0.1", port=0, batcher=None):
     """HTTP endpoint over a loaded pipeline (stdlib ThreadingHTTPServer).
 
     POST /generate  {"prompt": str, "negative_prompt"?, "width"?,
@@ -302,11 +460,15 @@ def make_http_server(pipe, args, host="127.0.0.1", port=0):
     GET  /healthz                           -> {"status": "ok", ...}
 
     Device work is serialized by a lock (batch-1 is the optimal
-    single-chip config); concurrent requests queue on it. Requests
-    without a seed draw from a process-wide counter so repeated identical
-    bodies still produce distinct images — the seed actually used is
-    stamped into the PNG for reproduction (`generate --from_png`).
-    Returns the server; callers own serve_forever()/shutdown().
+    single-chip config); concurrent requests queue on it. With --dp > 1
+    a `RequestBatcher` replaces the lock: queued same-shape requests are
+    microbatched into one dp-sharded dispatch (images/min scales with
+    chips; `X-F-Lite-Batch` reports how many rows shared the dispatch).
+    Requests without a seed draw from a process-wide counter so repeated
+    identical bodies still produce distinct images — the seed actually
+    used is stamped into the PNG for reproduction (`generate
+    --from_png`). Returns the server; callers own
+    serve_forever()/shutdown() (+ server.batcher.stop() when set).
     """
     import itertools
     import threading
@@ -315,6 +477,9 @@ def make_http_server(pipe, args, host="127.0.0.1", port=0):
     from f_lite_tpu.sampling.euler import SAMPLERS
     from f_lite_tpu.utils.image import png_bytes_with_metadata
 
+    if batcher is None and args.dp > 1:
+        batcher = RequestBatcher(pipe, args, max_batch=args.dp,
+                                 window_s=args.batch_window_ms / 1000.0)
     device_lock = threading.Lock()
     auto_seed = itertools.count(args.seed)
     seed_lock = threading.Lock()
@@ -421,32 +586,41 @@ def make_http_server(pipe, args, host="127.0.0.1", port=0):
                 r = _parse_request(req)
             except BadRequest as e:
                 return self._json(400, {"error": str(e)})
+            rows = 1
             try:
-                with device_lock:
-                    # timed inside the lock: X-F-Lite-Seconds is device
-                    # time, not queue wait
-                    t0 = time.perf_counter()
-                    out = _serve_generate(pipe, args, r)
-                    dt = time.perf_counter() - t0
+                if batcher is not None:
+                    # dp microbatching: the dispatcher thread owns the
+                    # device; X-F-Lite-Seconds is the shared dispatch time
+                    png, dt, rows = batcher.submit(r).result()
+                else:
+                    with device_lock:
+                        # timed inside the lock: X-F-Lite-Seconds is
+                        # device time, not queue wait
+                        t0 = time.perf_counter()
+                        out = _serve_generate(pipe, args, r)
+                        dt = time.perf_counter() - t0
+                    png = png_bytes_with_metadata(out.images[0], {
+                        **r, "model": args.model,
+                        "quantize": args.quantize or None,
+                        "guidance_interval": args.guidance_interval,
+                    })
             except Exception:
                 logger.exception("generation failed")
                 return self._json(500, {"error": "generation failed "
                                                  "(see server log)"})
-            png = png_bytes_with_metadata(out.images[0], {
-                **r, "model": args.model,
-                "quantize": args.quantize or None,
-                "guidance_interval": args.guidance_interval,
-            })
             self.send_response(200)
             self.send_header("Content-Type", "image/png")
             self.send_header("Content-Length", str(len(png)))
             self.send_header("X-F-Lite-Seed", str(r["seed"]))
             self.send_header("X-F-Lite-Seconds", f"{dt:.2f}")
+            if batcher is not None:
+                self.send_header("X-F-Lite-Batch", str(rows))
             self.end_headers()
             self.wfile.write(png)
 
     server = ThreadingHTTPServer((host, port), Handler)
     server.daemon_threads = True
+    server.batcher = batcher
     return server
 
 
@@ -481,13 +655,23 @@ def run_http(pipe, args):
         logger.warning(
             "--text_bucket 0: each distinct prompt length compiles its "
             "own denoise program — first requests will be slow")
-    _serve_generate(pipe, args, dict(
+    warm = dict(
         prompt="warmup", negative_prompt=None,
         width=args.width, height=args.height, steps=args.steps,
         guidance_scale=args.guidance_scale, sampler=args.sampler, seed=0,
-    ))
+    )
+    batcher = None
+    if args.dp > 1:
+        # the batcher pads every dispatch to batch=dp: warm THROUGH it so
+        # the compiled shape is the one requests will hit — still before
+        # the port binds
+        batcher = RequestBatcher(pipe, args, max_batch=args.dp,
+                                 window_s=args.batch_window_ms / 1000.0)
+        batcher.submit(warm).result()
+    else:
+        _serve_generate(pipe, args, warm)
     server = make_http_server(pipe, args, host=args.http_host,
-                              port=args.http_port)
+                              port=args.http_port, batcher=batcher)
     logger.info("serving on http://%s:%d (POST /generate)",
                 *server.server_address[:2])
     try:
@@ -496,6 +680,8 @@ def run_http(pipe, args):
         logger.info("shutting down")
     finally:
         server.server_close()
+        if server.batcher is not None:
+            server.batcher.stop()
     return None
 
 

@@ -123,9 +123,6 @@ class TestServe:
         with pytest.raises(SystemExit, match="divisible by"):
             main(["--model", str(model_dir), "--prompts", str(pf),
                   "--batch_size", "3", "--dp", "2"])
-        with pytest.raises(SystemExit, match="batch mode"):
-            main(["--model", str(model_dir), "--http_port", "0",
-                  "--dp", "2"])
         with pytest.raises(SystemExit, match="devices"):
             main(["--model", str(model_dir), "--prompts", str(pf),
                   "--batch_size", "16", "--dp", "16", "--width", "16",
@@ -287,3 +284,91 @@ class TestHTTP:
         assert all(r[0] == 200 for r in rs)
         seeds = sorted(int(r[1]["X-F-Lite-Seed"]) for r in rs)
         assert seeds == [0, 1, 2]
+
+
+class TestHTTPBatched:
+    """--dp 2 HTTP serving: queued same-shape requests share one
+    dp-sharded dispatch (RequestBatcher)."""
+
+    _url = TestHTTP._url
+    _post = TestHTTP._post
+
+    @pytest.fixture(scope="class")
+    def server(self, model_dir):
+        import threading
+
+        from f_lite_tpu.parallel.mesh import clear_mesh_rules
+        from f_lite_tpu.serve import build_pipeline, make_http_server, \
+            parse_args
+
+        clear_mesh_rules()
+        args = parse_args([
+            "--model", str(model_dir), "--http_port", "0",
+            "--width", "16", "--height", "16", "--steps", "1",
+            "--dp", "2", "--batch_window_ms", "500",
+            "--no_text_encoder",
+        ])
+        pipe = build_pipeline(args)
+        srv = make_http_server(pipe, args, port=0)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        yield srv
+        srv.shutdown()
+        srv.server_close()
+        srv.batcher.stop()
+        clear_mesh_rules()
+
+    def test_concurrent_same_shape_requests_share_a_dispatch(self, server):
+        from concurrent.futures import ThreadPoolExecutor
+
+        # warm the compiled shape first so the batching window isn't
+        # consumed by compilation skew
+        s0, h0, _ = self._post(server, {"prompt": "warm", "seed": 0})
+        assert s0 == 200 and h0["X-F-Lite-Batch"] == "1"
+        with ThreadPoolExecutor(2) as ex:
+            rs = list(ex.map(
+                lambda i: self._post(server, {"prompt": f"p{i}",
+                                              "seed": i}),
+                range(2),
+            ))
+        assert all(r[0] == 200 for r in rs)
+        # both landed in one dp-sharded dispatch
+        assert [r[1]["X-F-Lite-Batch"] for r in rs] == ["2", "2"]
+
+    def test_batched_seed_reproduces_solo_image(self, server):
+        """Row i of a shared dispatch must be the image a solo request
+        with that seed produces (per-row latents, padded rows exact)."""
+        import io
+
+        import numpy as np
+        from concurrent.futures import ThreadPoolExecutor
+        from PIL import Image
+
+        def pixels(body):
+            return np.asarray(
+                Image.open(io.BytesIO(body)).convert("RGB"), np.float32
+            )
+
+        solo = self._post(server, {"prompt": "same", "seed": 11})
+        assert solo[0] == 200
+        with ThreadPoolExecutor(2) as ex:
+            rs = list(ex.map(
+                lambda body: self._post(server, body),
+                [{"prompt": "same", "seed": 11},
+                 {"prompt": "other", "seed": 12,
+                  "negative_prompt": "blurry"}],
+            ))
+        assert all(r[0] == 200 for r in rs)
+        assert np.max(np.abs(pixels(rs[0][2]) - pixels(solo[2]))) <= 2.0
+
+    def test_different_shapes_do_not_batch(self, server):
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(2) as ex:
+            rs = list(ex.map(
+                lambda body: self._post(server, body),
+                [{"prompt": "a", "seed": 1},
+                 {"prompt": "b", "seed": 2, "width": 32}],
+            ))
+        assert all(r[0] == 200 for r in rs)
+        assert [r[1]["X-F-Lite-Batch"] for r in rs] == ["1", "1"]
