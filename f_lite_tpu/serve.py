@@ -21,7 +21,8 @@ HTTP mode (`--http_port`) serves the same pipeline as an endpoint
 (stdlib-only, no new dependencies): `POST /generate` with a JSON body
 `{"prompt": ..., "width"?, "height"?, "steps"?, "guidance_scale"?,
 "seed"?, "negative_prompt"?, "sampler"?}` returns a parameter-stamped
-PNG; `GET /healthz` reports readiness. The default shape is pre-compiled
+PNG; `GET /healthz` reports readiness; `GET /metrics` serves Prometheus
+counters (requests, images, device seconds, batch occupancy, p50/p95). The default shape is pre-compiled
 before the port binds, so the first request is fast; off-default shapes
 compile once (persistent cache) and must be multiples of 16, capped at
 2048 (the single-chip HBM guardrail — PERF.md 2048px datum). Device work
@@ -296,6 +297,75 @@ def main(argv=None):
     return manifest
 
 
+class ServerMetrics:
+    """Prometheus-text-format counters for the HTTP endpoint (stdlib).
+
+    Scrape `GET /metrics`. Tracks request counts by status, device
+    seconds spent generating, images served, dispatch batch occupancy
+    (dp microbatching efficiency), and a p50/p95 latency window.
+    """
+
+    def __init__(self):
+        import collections
+        import threading
+
+        self._lock = threading.Lock()
+        self.requests = {}  # (endpoint, status) -> count
+        self.device_seconds = 0.0
+        self.images = 0
+        self.batch_rows = 0
+        self.dispatch_count = 0
+        self._latency = collections.deque(maxlen=1000)
+
+    def record_request(self, endpoint: str, status: int):
+        with self._lock:
+            k = (endpoint, str(status))
+            self.requests[k] = self.requests.get(k, 0) + 1
+
+    def record_generate(self, device_s: float, rows: int):
+        with self._lock:
+            self.device_seconds += device_s
+            self.images += 1
+            # rows/dispatch arrives once per request; divide out sharing
+            # so dispatch_count estimates actual device dispatches
+            self.batch_rows += 1
+            self.dispatch_count += 1.0 / max(rows, 1)
+            self._latency.append(device_s)
+
+    def render(self) -> str:
+        with self._lock:
+            lines = [
+                "# TYPE f_lite_requests_total counter",
+            ]
+            for (ep, status), n in sorted(self.requests.items()):
+                lines.append(
+                    f'f_lite_requests_total{{endpoint="{ep}",'
+                    f'status="{status}"}} {n}'
+                )
+            lines += [
+                "# TYPE f_lite_images_total counter",
+                f"f_lite_images_total {self.images}",
+                "# TYPE f_lite_device_seconds_total counter",
+                f"f_lite_device_seconds_total {self.device_seconds:.3f}",
+                "# TYPE f_lite_dispatches_total counter",
+                f"f_lite_dispatches_total {self.dispatch_count:.1f}",
+                "# TYPE f_lite_batch_rows_avg gauge",
+                f"f_lite_batch_rows_avg "
+                f"{self.batch_rows / max(self.dispatch_count, 1e-9):.3f}",
+            ]
+            lat = sorted(self._latency)
+            if lat:
+                p50 = lat[len(lat) // 2]
+                p95 = lat[min(len(lat) - 1, int(len(lat) * 0.95))]
+                lines += [
+                    "# TYPE f_lite_generate_seconds_p50 gauge",
+                    f"f_lite_generate_seconds_p50 {p50:.3f}",
+                    "# TYPE f_lite_generate_seconds_p95 gauge",
+                    f"f_lite_generate_seconds_p95 {p95:.3f}",
+                ]
+        return "\n".join(lines) + "\n"
+
+
 class RequestBatcher:
     """Microbatch queued HTTP requests into one dp-sharded dispatch.
 
@@ -458,6 +528,7 @@ def make_http_server(pipe, args, host="127.0.0.1", port=0, batcher=None):
                      "height"?, "steps"?, "guidance_scale"?, "seed"?,
                      "sampler"?}            -> image/png (tEXt-stamped)
     GET  /healthz                           -> {"status": "ok", ...}
+    GET  /metrics                           -> Prometheus text format
 
     Device work is serialized by a lock (batch-1 is the optimal
     single-chip config); concurrent requests queue on it. With --dp > 1
@@ -480,6 +551,7 @@ def make_http_server(pipe, args, host="127.0.0.1", port=0, batcher=None):
     if batcher is None and args.dp > 1:
         batcher = RequestBatcher(pipe, args, max_batch=args.dp,
                                  window_s=args.batch_window_ms / 1000.0)
+    metrics = ServerMetrics()
     device_lock = threading.Lock()
     auto_seed = itertools.count(args.seed)
     seed_lock = threading.Lock()
@@ -543,10 +615,15 @@ def make_http_server(pipe, args, host="127.0.0.1", port=0, batcher=None):
         # (HTTPStatus) — format first, filter on the result
         def log_message(self, fmt, *a):
             msg = fmt % a
-            if "/healthz" not in msg:
+            if "/healthz" not in msg and "/metrics" not in msg:
                 logger.info("http %s", msg)
 
+        def _endpoint(self):
+            p = self.path.split("?", 1)[0].lstrip("/")
+            return p if p in ("generate", "healthz", "metrics") else "other"
+
         def _json(self, code, obj):
+            metrics.record_request(self._endpoint(), code)
             body = json.dumps(obj).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
@@ -559,9 +636,18 @@ def make_http_server(pipe, args, host="127.0.0.1", port=0, batcher=None):
                 self._json(200, {
                     "status": "ok", "model": args.model,
                     "quantize": bool(args.quantize), "tp": args.tp,
+                    "dp": args.dp,
                     "default": {"width": args.width, "height": args.height,
                                 "steps": args.steps},
                 })
+            elif self.path == "/metrics":
+                body = metrics.render().encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._json(404, {"error": "unknown path (try /generate)"})
 
@@ -608,6 +694,8 @@ def make_http_server(pipe, args, host="127.0.0.1", port=0, batcher=None):
                 logger.exception("generation failed")
                 return self._json(500, {"error": "generation failed "
                                                  "(see server log)"})
+            metrics.record_request("generate", 200)
+            metrics.record_generate(dt, rows)
             self.send_response(200)
             self.send_header("Content-Type", "image/png")
             self.send_header("Content-Length", str(len(png)))
@@ -621,6 +709,7 @@ def make_http_server(pipe, args, host="127.0.0.1", port=0, batcher=None):
     server = ThreadingHTTPServer((host, port), Handler)
     server.daemon_threads = True
     server.batcher = batcher
+    server.metrics = metrics
     return server
 
 

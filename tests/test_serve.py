@@ -264,6 +264,29 @@ class TestHTTP:
             urllib.request.urlopen(req, timeout=30)
         assert ei.value.code == 400
 
+    def test_metrics_endpoint(self, server):
+        import urllib.request
+
+        # at least one generate has run by now (test order within the
+        # class is file order, and the server fixture is class-scoped)
+        self._post(server, {"prompt": "metrics probe", "seed": 99})
+        with urllib.request.urlopen(
+            self._url(server, "/metrics"), timeout=30
+        ) as resp:
+            assert resp.headers["Content-Type"].startswith("text/plain")
+            body = resp.read().decode()
+        assert 'f_lite_requests_total{endpoint="generate",status="200"}' \
+            in body
+        assert "f_lite_images_total" in body
+        assert "f_lite_generate_seconds_p50" in body
+        # bad requests are counted under their status
+        self._post(server, {"prompt": ""})
+        with urllib.request.urlopen(
+            self._url(server, "/metrics"), timeout=30
+        ) as resp:
+            body = resp.read().decode()
+        assert 'status="400"' in body
+
     def test_unknown_paths_404(self, server):
         import urllib.error
         import urllib.request
