@@ -322,15 +322,19 @@ class ServerMetrics:
             k = (endpoint, str(status))
             self.requests[k] = self.requests.get(k, 0) + 1
 
-    def record_generate(self, device_s: float, rows: int):
+    def record_dispatch(self, device_s: float, rows: int):
+        """Once per DEVICE dispatch (the batcher calls this for a shared
+        dispatch; the dp=1 path per request) — device_seconds must sum to
+        actual device-busy time, not be multiplied by batch sharing."""
         with self._lock:
             self.device_seconds += device_s
-            self.images += 1
-            # rows/dispatch arrives once per request; divide out sharing
-            # so dispatch_count estimates actual device dispatches
-            self.batch_rows += 1
-            self.dispatch_count += 1.0 / max(rows, 1)
+            self.batch_rows += rows
+            self.dispatch_count += 1
             self._latency.append(device_s)
+
+    def record_image(self):
+        with self._lock:
+            self.images += 1
 
     def render(self) -> str:
         with self._lock:
@@ -348,10 +352,10 @@ class ServerMetrics:
                 "# TYPE f_lite_device_seconds_total counter",
                 f"f_lite_device_seconds_total {self.device_seconds:.3f}",
                 "# TYPE f_lite_dispatches_total counter",
-                f"f_lite_dispatches_total {self.dispatch_count:.1f}",
+                f"f_lite_dispatches_total {self.dispatch_count}",
                 "# TYPE f_lite_batch_rows_avg gauge",
                 f"f_lite_batch_rows_avg "
-                f"{self.batch_rows / max(self.dispatch_count, 1e-9):.3f}",
+                f"{self.batch_rows / max(self.dispatch_count, 1):.3f}",
             ]
             lat = sorted(self._latency)
             if lat:
@@ -383,17 +387,33 @@ class RequestBatcher:
     """
 
     def __init__(self, pipe, args, max_batch: int, window_s: float):
+        import contextvars
         import threading
 
         self.pipe, self.args = pipe, args
         self.max_batch, self.window = max_batch, window_s
+        self.metrics = None  # optional ServerMetrics, set by the server
         self._cv = threading.Condition()
         self._q: list = []  # (key, request, Future)
         self._stop = False
+        # contextvars do NOT propagate to new threads, and the dp/tp
+        # activation-sharding rules (use_mesh_rules in build_pipeline)
+        # live in one: run the dispatcher inside a copy of the
+        # CONSTRUCTION context so every denoise traces with the mesh
+        # engaged — without this the act_batch->(dp,fsdp) rule is inert
+        # and the compiled program silently loses its batch sharding
+        self._ctx = contextvars.copy_context()
         self._thread = threading.Thread(
-            target=self._loop, daemon=True, name="f-lite-batcher"
+            target=lambda: self._ctx.run(self._loop),
+            daemon=True, name="f-lite-batcher",
         )
         self._thread.start()
+
+    @classmethod
+    def from_args(cls, pipe, args):
+        """The one place the batch size / window derivation lives."""
+        return cls(pipe, args, max_batch=args.dp,
+                   window_s=args.batch_window_ms / 1000.0)
 
     @staticmethod
     def _key(r: dict):
@@ -442,14 +462,19 @@ class RequestBatcher:
                     if left <= 0:
                         break
                     self._cv.wait(timeout=left)
+                if self._stop:
+                    # do NOT launch a multi-second dispatch after shutdown
+                    # was signalled: push the collected batch back and let
+                    # the loop top fail everything queued
+                    continue
                 idxs = matching()[: self.max_batch]
                 batch = [self._q[i] for i in idxs]
                 for i in reversed(idxs):
                     del self._q[i]
-            t0 = time.perf_counter()
             try:
-                pngs = self._generate(key, [r for _, r, _ in batch])
-                dt = time.perf_counter() - t0
+                pngs, dt = self._generate(key, [r for _, r, _ in batch])
+                if self.metrics is not None:
+                    self.metrics.record_dispatch(dt, len(batch))
                 for (_, _, f), png in zip(batch, pngs):
                     f.set_result((png, dt, len(batch)))
             except Exception as e:  # surface to every waiter, keep serving
@@ -470,22 +495,28 @@ class RequestBatcher:
         n = len(reqs)
         rows = reqs + [reqs[-1]] * (self.max_batch - n)
         embeds, mask = pipe.text_encoder.encode([r["prompt"] for r in rows])
+        embeds, mask = np.asarray(embeds), np.asarray(mask)
         negs = [r["negative_prompt"] for r in rows]
-        if any(negs):
-            nemb, nmask = pipe.text_encoder.encode(
-                [x or "" for x in negs]
+        with_neg = [i for i, x in enumerate(negs) if x]
+        if with_neg:
+            # encode ONLY the rows that have a negative: rows without one
+            # keep the reference zeros semantics exactly like a batch-1
+            # call (`pipeline.py:161`), and encoders that cannot encode
+            # arbitrary text (PrecomputedTextEncoder raises on uncached
+            # captions, "" included) never see the absent rows
+            sub, subm = pipe.text_encoder.encode(
+                [negs[i] for i in with_neg]
             )
-            nemb = np.array(nemb, np.float32, copy=True)
-            nmask = np.array(nmask, bool, copy=True)
-            for i, x in enumerate(negs):
-                if not x:
-                    # reference zeros semantics for an absent negative,
-                    # exactly like a batch-1 call (`pipeline.py:161`)
-                    nemb[i] = 0.0
-                    nmask[i] = True
+            sub, subm = np.asarray(sub), np.asarray(subm)
+            nemb = np.zeros(
+                (len(rows), sub.shape[1], sub.shape[2]), np.float32
+            )
+            nmask = np.ones((len(rows), subm.shape[1]), bool)
+            nemb[with_neg] = sub
+            nmask[with_neg] = subm
         else:
-            nemb = np.zeros_like(np.asarray(embeds))
-            nmask = np.ones(np.asarray(mask).shape, bool)
+            nemb = np.zeros_like(embeds)
+            nmask = np.ones(mask.shape, bool)
         cfg = pipe.dit_model.config
         lh = height // pipe.vae_scale_factor
         lw = width // pipe.vae_scale_factor
@@ -496,6 +527,10 @@ class RequestBatcher:
                               (1, lh, lw, cfg.in_channels), cfg.dtype)
             for r in rows
         ], axis=0)
+        # timed around the device work only (text encode / PNG encode are
+        # host-side): X-F-Lite-Seconds and the latency metrics stay
+        # comparable with the dp=1 path's inside-the-lock timing
+        t0 = time.perf_counter()
         out = pipe(
             prompt_embeds=embeds,
             negative_embeds=nemb,
@@ -510,15 +545,19 @@ class RequestBatcher:
             sampler=sampler,
             pad_context_to=args.text_bucket or None,
         )
+        dt = time.perf_counter() - t0
+        # NO batch_size/batch_index stamp: per-row seeded latents make a
+        # solo `generate --from_png` rerun reproduce a batched row exactly
+        # (the stamp would trigger from_png's one-seed-per-batch warning,
+        # which is about serve.py's --prompts mode, not this path)
         return [
             png_bytes_with_metadata(img, {
                 **r, "model": args.model,
                 "quantize": args.quantize or None,
                 "guidance_interval": args.guidance_interval,
-                "batch_size": self.max_batch, "batch_index": i,
             })
-            for i, (img, r) in enumerate(zip(out.images[:n], reqs))
-        ]
+            for img, r in zip(out.images[:n], reqs)
+        ], dt
 
 
 def make_http_server(pipe, args, host="127.0.0.1", port=0, batcher=None):
@@ -549,9 +588,10 @@ def make_http_server(pipe, args, host="127.0.0.1", port=0, batcher=None):
     from f_lite_tpu.utils.image import png_bytes_with_metadata
 
     if batcher is None and args.dp > 1:
-        batcher = RequestBatcher(pipe, args, max_batch=args.dp,
-                                 window_s=args.batch_window_ms / 1000.0)
+        batcher = RequestBatcher.from_args(pipe, args)
     metrics = ServerMetrics()
+    if batcher is not None:
+        batcher.metrics = metrics
     device_lock = threading.Lock()
     auto_seed = itertools.count(args.seed)
     seed_lock = threading.Lock()
@@ -676,7 +716,8 @@ def make_http_server(pipe, args, host="127.0.0.1", port=0, batcher=None):
             try:
                 if batcher is not None:
                     # dp microbatching: the dispatcher thread owns the
-                    # device; X-F-Lite-Seconds is the shared dispatch time
+                    # device; X-F-Lite-Seconds is the shared dispatch
+                    # time (the batcher records the dispatch metrics)
                     png, dt, rows = batcher.submit(r).result()
                 else:
                     with device_lock:
@@ -685,6 +726,7 @@ def make_http_server(pipe, args, host="127.0.0.1", port=0, batcher=None):
                         t0 = time.perf_counter()
                         out = _serve_generate(pipe, args, r)
                         dt = time.perf_counter() - t0
+                    metrics.record_dispatch(dt, 1)
                     png = png_bytes_with_metadata(out.images[0], {
                         **r, "model": args.model,
                         "quantize": args.quantize or None,
@@ -695,7 +737,7 @@ def make_http_server(pipe, args, host="127.0.0.1", port=0, batcher=None):
                 return self._json(500, {"error": "generation failed "
                                                  "(see server log)"})
             metrics.record_request("generate", 200)
-            metrics.record_generate(dt, rows)
+            metrics.record_image()
             self.send_response(200)
             self.send_header("Content-Type", "image/png")
             self.send_header("Content-Length", str(len(png)))
@@ -754,8 +796,7 @@ def run_http(pipe, args):
         # the batcher pads every dispatch to batch=dp: warm THROUGH it so
         # the compiled shape is the one requests will hit — still before
         # the port binds
-        batcher = RequestBatcher(pipe, args, max_batch=args.dp,
-                                 window_s=args.batch_window_ms / 1000.0)
+        batcher = RequestBatcher.from_args(pipe, args)
         batcher.submit(warm).result()
     else:
         _serve_generate(pipe, args, warm)

@@ -384,6 +384,57 @@ class TestHTTPBatched:
         assert all(r[0] == 200 for r in rs)
         assert np.max(np.abs(pixels(rs[0][2]) - pixels(solo[2]))) <= 2.0
 
+    def test_batcher_traces_under_construction_mesh(self):
+        """use_mesh_rules lives in a contextvar, which does NOT propagate
+        to new threads — the batcher must capture the construction
+        context or the dp sharding rules are silently inert in HTTP mode
+        (every trace happens in the dispatcher thread)."""
+        import types
+
+        import jax
+        import jax.numpy as jnp
+        from PIL import Image
+
+        from f_lite_tpu.parallel import create_mesh
+        from f_lite_tpu.parallel.mesh import (
+            active_mesh_rules,
+            clear_mesh_rules,
+            use_mesh_rules,
+        )
+        from f_lite_tpu.serve import RequestBatcher, parse_args
+        from f_lite_tpu.text.encoder import ZeroTextEncoder
+
+        seen = []
+
+        class FakePipe:
+            text_encoder = ZeroTextEncoder(8, 4)
+            vae_scale_factor = 8
+            dit_model = types.SimpleNamespace(
+                config=types.SimpleNamespace(
+                    in_channels=4, dtype=jnp.bfloat16
+                )
+            )
+
+            def __call__(self, **kw):
+                seen.append(active_mesh_rules())
+                n = kw["latents"].shape[0]
+                img = Image.new("RGB", (kw["width"], kw["height"]))
+                return types.SimpleNamespace(images=[img] * n)
+
+        args = parse_args(["--model", "x", "--http_port", "0",
+                           "--dp", "2"])
+        mesh = create_mesh(dp=2, devices=jax.devices()[:2])
+        use_mesh_rules(mesh)
+        try:
+            b = RequestBatcher.from_args(FakePipe(), args)
+            b.submit(dict(prompt="p", negative_prompt=None, width=16,
+                          height=16, steps=1, guidance_scale=6.0,
+                          sampler="euler", seed=0)).result(timeout=60)
+            b.stop()
+        finally:
+            clear_mesh_rules()
+        assert seen and seen[0] is not None and seen[0][0] is mesh
+
     def test_different_shapes_do_not_batch(self, server):
         from concurrent.futures import ThreadPoolExecutor
 
