@@ -17,7 +17,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 from tp_compile_check import parse_collectives  # noqa: E402
 
 
-def _compile_tp_denoise(tp=8, residual_v=False, quantized=False):
+def _compile_tp_denoise(tp=8, residual_v=False, quantized=False, dp=1):
     import flax.linen as nn
 
     from f_lite_tpu.models.dit import DiT, DiTConfig
@@ -29,7 +29,8 @@ def _compile_tp_denoise(tp=8, residual_v=False, quantized=False):
     from f_lite_tpu.parallel.mesh import mesh_rules
     from f_lite_tpu.sampling.euler import DenoiseSettings, denoise
 
-    mesh = create_mesh(dp=1, fsdp=1, tp=tp, devices=jax.devices()[:tp])
+    mesh = create_mesh(dp=dp, fsdp=1, tp=tp,
+                       devices=jax.devices()[: dp * tp])
     dtype = jnp.bfloat16
     cfg = DiTConfig(
         in_channels=16, patch_size=2, hidden_size=256, depth=4,
@@ -59,10 +60,10 @@ def _compile_tp_denoise(tp=8, residual_v=False, quantized=False):
     bsh = batch_sharding(mesh)
     args = (
         ps,
-        jax.ShapeDtypeStruct((1, lat, lat, 16), dtype, sharding=bsh),
-        jax.ShapeDtypeStruct((1, text_len, 64), dtype, sharding=bsh),
-        jax.ShapeDtypeStruct((1, text_len, 64), dtype, sharding=bsh),
-        jax.ShapeDtypeStruct((1, text_len), jnp.bool_, sharding=bsh),
+        jax.ShapeDtypeStruct((dp, lat, lat, 16), dtype, sharding=bsh),
+        jax.ShapeDtypeStruct((dp, text_len, 64), dtype, sharding=bsh),
+        jax.ShapeDtypeStruct((dp, text_len, 64), dtype, sharding=bsh),
+        jax.ShapeDtypeStruct((dp, text_len), jnp.bool_, sharding=bsh),
     )
     settings = DenoiseSettings(num_inference_steps=4, guidance_scale=6.0)
 
@@ -103,6 +104,26 @@ class TestTPCollectives:
     def test_denoise_tp2(self):
         hlo, tp = _compile_tp_denoise(tp=2)
         self._audit(hlo, tp, max_collectives=12)
+
+    def test_denoise_dp2_tp2(self):
+        """serve --dp: cross-dp communication must be only the CFG row
+        exchange (collective-permutes / dp-aligned gathers — a small
+        program-wide constant), never per-block activation resharding;
+        tp collectives stay on their per-shard groups."""
+        hlo, _ = _compile_tp_denoise(tp=2, dp=2)
+        collectives = parse_collectives(hlo)
+        tp_groups = [[0, 1], [2, 3]]
+        dp_groups = [[0, 2], [1, 3]]
+        permutes = sum(1 for _, g in collectives if g is None)
+        dp_n = sum(1 for _, g in collectives if g == dp_groups)
+        bad = [(k, g) for k, g in collectives
+               if g is not None and g not in (tp_groups, dp_groups)]
+        assert not bad, f"off-axis collectives: {bad}"
+        assert any(g == tp_groups for _, g in collectives), \
+            "no tp collectives — params not tp-sharded?"
+        # the scan body is deduplicated in HLO: a leaked per-block
+        # resharding would add tens of dp ops, the CFG exchange adds ~2-4
+        assert permutes + dp_n <= 8, (permutes, dp_n)
 
 
 class TestPaddedHeadsTPExecution:

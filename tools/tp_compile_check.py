@@ -129,6 +129,12 @@ def parse_collectives(hlo: str):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tp", type=int, default=8)
+    ap.add_argument("--dp", type=int, default=1,
+                    help="audit the dp-sharded serving program (serve.py "
+                         "--dp): batch = one row per dp shard; cross-dp "
+                         "communication must be limited to the CFG "
+                         "row-exchange (latent-sized, axis-aligned), "
+                         "never model activations")
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--model", default="7b", choices=("7b", "10b"),
                     help="flagship preset to audit (10b = released "
@@ -142,10 +148,11 @@ def main():
     ap.add_argument("--out", default="TP_CHECK.json")
     args = ap.parse_args()
 
+    n_dev = args.dp * args.tp
     # backend init is one-way (cannot probe jax.devices() first): force the
-    # virtual CPU platform unless explicitly running on a real tp-way pod
+    # virtual CPU platform unless explicitly running on a real pod
     if not os.environ.get("F_LITE_TP_CHECK_ON_HW"):
-        force_cpu(args.tp)
+        force_cpu(n_dev)
     import jax
     import jax.numpy as jnp
 
@@ -157,8 +164,8 @@ def main():
     )
     from f_lite_tpu.sampling.euler import DenoiseSettings, denoise
 
-    mesh = create_mesh(dp=1, fsdp=1, tp=args.tp,
-                       devices=jax.devices()[: args.tp])
+    mesh = create_mesh(dp=args.dp, fsdp=1, tp=args.tp,
+                       devices=jax.devices()[:n_dev])
     dtype = jnp.bfloat16
     if args.tiny:
         cfg = DiTConfig(
@@ -204,16 +211,17 @@ def main():
         lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
         abstract, shardings,
     )
-    bsh = batch_sharding(mesh)  # (dp, fsdp) = (1, 1): replicated for TP
+    bsh = batch_sharding(mesh)  # (dp, fsdp): replicated when both are 1
+    b = args.dp  # one batch row per dp shard (serve.py's HTTP batcher)
     arg_structs = (
         param_structs,
-        jax.ShapeDtypeStruct((1, lat, lat, cfg.in_channels), dtype,
+        jax.ShapeDtypeStruct((b, lat, lat, cfg.in_channels), dtype,
                              sharding=bsh),
-        jax.ShapeDtypeStruct((1, text_len, cfg.cross_attn_input_size),
+        jax.ShapeDtypeStruct((b, text_len, cfg.cross_attn_input_size),
                              dtype, sharding=bsh),
-        jax.ShapeDtypeStruct((1, text_len, cfg.cross_attn_input_size),
+        jax.ShapeDtypeStruct((b, text_len, cfg.cross_attn_input_size),
                              dtype, sharding=bsh),
-        jax.ShapeDtypeStruct((1, text_len), jnp.bool_, sharding=bsh),
+        jax.ShapeDtypeStruct((b, text_len), jnp.bool_, sharding=bsh),
     )
 
     settings = DenoiseSettings(num_inference_steps=args.steps,
@@ -234,20 +242,49 @@ def main():
     hlo = compiled.as_text()
     collectives = parse_collectives(hlo)
 
-    # expected tp groups: consecutive runs of tp devices (mesh is
-    # (1, 1, tp) so device ids 0..tp-1 form one group)
-    tp_groups = [list(range(args.tp))]
-    bad = [
-        (kind, groups) for kind, groups in collectives
-        if groups != tp_groups
+    # expected axis-aligned groups on the (dp, 1, fsdp=1, tp) mesh:
+    # tp groups are consecutive runs of tp devices within each dp shard;
+    # dp groups stride across shards (the CFG row exchange rides these)
+    tp_groups = [
+        list(range(d * args.tp, (d + 1) * args.tp))
+        for d in range(args.dp)
+    ]
+    dp_groups = [
+        [d * args.tp + i for d in range(args.dp)]
+        for i in range(args.tp)
     ]
     counts: dict[str, int] = {}
-    for kind, _ in collectives:
+    tp_aligned = dp_aligned = permutes = 0
+    bad = []
+    for kind, groups in collectives:
         counts[kind] = counts.get(kind, 0) + 1
+        if groups == tp_groups:
+            tp_aligned += 1
+        elif args.dp > 1 and groups == dp_groups:
+            dp_aligned += 1
+        elif args.dp > 1 and groups is None:
+            # collective-permute: dp neighbor exchange at the CFG
+            # concat/split boundary (latent-sized). On a pure-tp mesh a
+            # permute means activation resharding -> stays a failure.
+            permutes += 1
+        else:
+            bad.append((kind, groups))
+    # the dp axis may only carry the per-step CFG row exchange: a handful
+    # of program-wide ops (the scan body is deduplicated in HLO), never a
+    # per-block pattern. 8 = observed 2-4 plus headroom; a leaked
+    # activation resharding would add tens (one per block).
+    dp_overhead_ok = (dp_aligned + permutes) <= 8
+    ok = not bad and bool(collectives) and (
+        args.tp == 1 or tp_aligned > 0
+    ) and dp_overhead_ok
 
     record = {
-        "ok": not bad and bool(collectives),
+        "ok": ok,
         "tp": args.tp,
+        "dp": args.dp,
+        "tp_aligned_collectives": tp_aligned,
+        "dp_aligned_collectives": dp_aligned,
+        "dp_permutes": permutes,
         "sequence_parallel": args.sp,
         "model": "tiny" if args.tiny else f"f-lite-{args.model}",
         "heads": cfg.num_heads,
