@@ -76,6 +76,9 @@ def parse_args(argv=None):
                    help="CFG only while the schedule t is inside "
                         "[LO, HI]; other steps run conditional-only at "
                         "half the model cost")
+    p.add_argument("--negative_prompt", type=str, default=None,
+                   help="one negative prompt applied to every batch-mode "
+                        "image (HTTP requests carry their own)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--precomputed_dir", type=str, default=None,
                    help="serve text embeddings from a precompute cache")
@@ -245,6 +248,10 @@ def main(argv=None):
         t0 = time.perf_counter()
         out = pipe(
             prompt=chunk,
+            negative_prompt=(
+                [args.negative_prompt] * len(chunk)
+                if args.negative_prompt else None
+            ),
             height=args.height, width=args.width,
             num_inference_steps=args.steps,
             guidance_scale=args.guidance_scale,
@@ -265,7 +272,9 @@ def main(argv=None):
                 break
             f = out_dir / f"{idx:05d}.png"
             pending.append(saver.submit(save_with_metadata, img, f, {
-                "prompt": prompts[idx], "seed": args.seed + bi,
+                "prompt": prompts[idx],
+                "negative_prompt": args.negative_prompt,
+                "seed": args.seed + bi,
                 "width": args.width, "height": args.height,
                 "steps": args.steps,
                 "guidance_scale": args.guidance_scale,

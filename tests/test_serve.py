@@ -43,6 +43,7 @@ class TestServe:
             "--batch_size", "2",
             "--width", "16", "--height", "16",
             "--steps", "1",
+            "--negative_prompt", "blurry",
             "--no_text_encoder",
             "--output_dir", str(out),
         ])
@@ -55,6 +56,7 @@ class TestServe:
 
         meta = read_metadata(out / "00002.png")
         assert meta["prompt"] == "a bird" and meta["steps"] == 1
+        assert meta["negative_prompt"] == "blurry"
 
     def test_tp_serving(self, model_dir, tmp_path):
         from f_lite_tpu.serve import main
