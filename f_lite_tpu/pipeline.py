@@ -786,10 +786,26 @@ class FLitePipeline:
             decoded = self.vae.apply(
                 self.vae_params, z, method=AutoencoderKL.decode
             )
-        decoded = np.asarray(decoded, dtype=np.float32)
         if output_type == "np":
-            return FLitePipelineOutput(images=decoded)
-        return FLitePipelineOutput(images=to_pil_images(decoded))
+            return FLitePipelineOutput(
+                images=np.asarray(decoded, dtype=np.float32)
+            )
+        # PIL path: quantize to uint8 ON DEVICE before the host fetch —
+        # 4x less transfer than fetching fp32 and converting on host
+        # (PERF.md serving load test: the image fetch dominates the
+        # pipeline's non-device overhead). Bit-identical to the native
+        # host kernel: same (x/2+0.5).clamp(0,1)*255 with half-to-even
+        # rounding (native/image_ops.cpp:54-61, reference
+        # pipeline.py:324-326).
+        u8 = jnp.round(
+            jnp.clip(decoded.astype(jnp.float32) * 0.5 + 0.5, 0.0, 1.0)
+            * 255.0
+        ).astype(jnp.uint8)
+        from PIL import Image as PILImage
+
+        return FLitePipelineOutput(
+            images=[PILImage.fromarray(a) for a in np.asarray(u8)]
+        )
 
 
 def _pad_seq(emb, mask, target):

@@ -46,6 +46,20 @@ class TestPipeline:
         assert isinstance(img, Image.Image)
         assert img.size == (32, 32)
 
+    def test_on_device_uint8_matches_host_kernel(self, pipe):
+        """The PIL path quantizes to uint8 on device (4x smaller fetch);
+        it must stay bit-identical to the native host kernel applied to
+        the fp32 output (both are half-to-even (x/2+.5).clamp*255)."""
+        import numpy as np
+
+        from f_lite_tpu.utils.image import to_pil_images
+
+        kw = dict(prompt="parity", height=32, width=32,
+                  num_inference_steps=2, seed=11)
+        pil = pipe(**kw).images[0]
+        host = to_pil_images(pipe(**kw, output_type="np").images)[0]
+        assert np.array_equal(np.asarray(pil), np.asarray(host))
+
     def test_batch_and_multi_per_prompt(self, pipe):
         out = pipe(
             prompt=["a", "b"], height=16, width=16,
