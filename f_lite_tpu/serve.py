@@ -602,6 +602,11 @@ def make_http_server(pipe, args, host="127.0.0.1", port=0, batcher=None):
     if batcher is not None:
         batcher.metrics = metrics
     device_lock = threading.Lock()
+    # graceful-drain state (begin_drain/drain_wait): draining servers
+    # 503 new work but finish what is in flight — the serving analog of
+    # the trainer's SIGTERM preemption checkpoint
+    drain = {"on": False, "inflight": 0}
+    drain_cv = threading.Condition()
     auto_seed = itertools.count(args.seed)
     seed_lock = threading.Lock()
 
@@ -682,6 +687,10 @@ def make_http_server(pipe, args, host="127.0.0.1", port=0, batcher=None):
 
         def do_GET(self):
             if self.path == "/healthz":
+                if drain["on"]:
+                    # load balancers read this as not-ready and stop
+                    # routing; in-flight work still completes
+                    return self._json(503, {"status": "draining"})
                 self._json(200, {
                     "status": "ok", "model": args.model,
                     "quantize": bool(args.quantize), "tp": args.tp,
@@ -721,6 +730,20 @@ def make_http_server(pipe, args, host="127.0.0.1", port=0, batcher=None):
                 r = _parse_request(req)
             except BadRequest as e:
                 return self._json(400, {"error": str(e)})
+            with drain_cv:
+                if drain["on"]:
+                    return self._json(503, {
+                        "error": "server is draining (shutting down)"
+                    })
+                drain["inflight"] += 1
+            try:
+                return self._generate_locked(r)
+            finally:
+                with drain_cv:
+                    drain["inflight"] -= 1
+                    drain_cv.notify_all()
+
+        def _generate_locked(self, r):
             rows = 1
             try:
                 if batcher is not None:
@@ -761,6 +784,28 @@ def make_http_server(pipe, args, host="127.0.0.1", port=0, batcher=None):
     server.daemon_threads = True
     server.batcher = batcher
     server.metrics = metrics
+
+    def begin_drain():
+        """Stop accepting generation work (503 + unhealthy /healthz);
+        in-flight requests keep running. Safe from a signal handler."""
+        with drain_cv:
+            drain["on"] = True
+        logger.info("draining: new requests rejected, "
+                    "%d in flight", drain["inflight"])
+
+    def drain_wait(timeout_s: float = 600.0) -> bool:
+        """Block until in-flight generations finish (True) or timeout."""
+        deadline = time.monotonic() + timeout_s
+        with drain_cv:
+            while drain["inflight"] > 0:
+                left = deadline - time.monotonic()
+                if left <= 0:
+                    return False
+                drain_cv.wait(timeout=left)
+        return True
+
+    server.begin_drain = begin_drain
+    server.drain_wait = drain_wait
     return server
 
 
@@ -813,11 +858,29 @@ def run_http(pipe, args):
                               port=args.http_port, batcher=batcher)
     logger.info("serving on http://%s:%d (POST /generate)",
                 *server.server_address[:2])
+
+    # graceful preemption (the serving analog of the trainer's SIGTERM
+    # checkpoint): drain — 503 new work, let in-flight finish — then stop
+    import signal as _signal
+    import threading as _threading
+
+    def _term(_sig, _frm):
+        server.begin_drain()
+
+        def _finish():
+            server.drain_wait(600.0)
+            server.shutdown()
+
+        _threading.Thread(target=_finish, daemon=True).start()
+
+    prev = _signal.signal(_signal.SIGTERM, _term)
     try:
         server.serve_forever()
+        logger.info("drained; shutting down")
     except KeyboardInterrupt:
         logger.info("shutting down")
     finally:
+        _signal.signal(_signal.SIGTERM, prev)
         server.server_close()
         if server.batcher is not None:
             server.batcher.stop()

@@ -311,6 +311,69 @@ class TestHTTP:
         assert seeds == [0, 1, 2]
 
 
+class TestGracefulDrain:
+    """SIGTERM drain: new work 503s, in-flight finishes, drain_wait
+    unblocks (run_http wires SIGTERM to exactly this sequence)."""
+
+    def test_drain_rejects_new_and_finishes_inflight(self):
+        import threading
+        import time as _time
+        import types
+        import urllib.error
+        import urllib.request
+
+        from PIL import Image
+
+        from f_lite_tpu.serve import make_http_server, parse_args
+        from f_lite_tpu.text.encoder import ZeroTextEncoder
+
+        started = threading.Event()
+
+        class SlowPipe:
+            text_encoder = ZeroTextEncoder(8, 4)
+            vae_scale_factor = 8
+
+            def __call__(self, **kw):
+                started.set()
+                _time.sleep(1.5)
+                img = Image.new("RGB", (kw["width"], kw["height"]))
+                return types.SimpleNamespace(images=[img])
+
+        args = parse_args(["--model", "x", "--http_port", "0",
+                           "--width", "16", "--height", "16",
+                           "--steps", "1", "--no_text_encoder"])
+        srv = make_http_server(SlowPipe(), args, port=0)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        host, port = srv.server_address[:2]
+        url = f"http://{host}:{port}"
+
+        results = []
+
+        def post():
+            req = urllib.request.Request(
+                url + "/generate", data=b'{"prompt": "x", "seed": 1}')
+            with urllib.request.urlopen(req, timeout=60) as resp:
+                results.append(resp.status)
+
+        t = threading.Thread(target=post)
+        t.start()
+        assert started.wait(30)      # request is on the device
+        srv.begin_drain()
+        # new generation work and readiness probes are rejected
+        for path, data in (("/generate", b'{"prompt": "y"}'),
+                           ("/healthz", None)):
+            req = urllib.request.Request(url + path, data=data)
+            with pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req, timeout=30)
+            assert ei.value.code == 503
+        # the in-flight request still completes, then drain unblocks
+        assert srv.drain_wait(30.0)
+        t.join(timeout=30)
+        assert results == [200]
+        srv.shutdown()
+        srv.server_close()
+
+
 class TestHTTPBatched:
     """--dp 2 HTTP serving: queued same-shape requests share one
     dp-sharded dispatch (RequestBatcher)."""
