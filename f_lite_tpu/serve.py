@@ -22,8 +22,9 @@ HTTP mode (`--http_port`) serves the same pipeline as an endpoint
 `{"prompt": ..., "width"?, "height"?, "steps"?, "guidance_scale"?,
 "seed"?, "negative_prompt"?, "sampler"?}` returns a parameter-stamped
 PNG; `GET /healthz` reports readiness; `GET /metrics` serves Prometheus
-counters (requests, images, device seconds, batch occupancy, p50/p95). The default shape is pre-compiled
-before the port binds, so the first request is fast; off-default shapes
+counters (requests, images, device seconds, batch occupancy, p50/p95).
+The default shape is pre-compiled before the port binds, so the first
+request is fast; off-default shapes
 compile once (persistent cache) and must be multiples of 16, capped at
 2048 (the single-chip HBM guardrail — PERF.md 2048px datum). Device work
 is serialized by a lock — concurrent requests queue (batch-1 is the
@@ -222,6 +223,24 @@ def main(argv=None):
         ]
         if not prompts:
             raise SystemExit(f"no prompts in {args.prompts}")
+        if args.precomputed_dir:
+            # same fail-fast treatment for the cache: a caption that was
+            # never precomputed (negative prompt included) must error
+            # here, not after the multi-minute model load
+            from f_lite_tpu.text.encoder import PrecomputedTextEncoder
+
+            te = PrecomputedTextEncoder(args.precomputed_dir)
+            need = prompts + (
+                [args.negative_prompt] if args.negative_prompt else []
+            )
+            missing = [p for p in need if not te.has(p)]
+            if missing:
+                raise SystemExit(
+                    f"{len(missing)} caption(s) not in the precompute "
+                    f"cache {args.precomputed_dir} (first: "
+                    f"{missing[0]!r}) — run tools/precompute_embeddings"
+                    ".py on them first"
+                )
 
     pipe = build_pipeline(args)
     if args.http_port is not None:
@@ -492,7 +511,8 @@ class RequestBatcher:
                     if not f.done():
                         f.set_exception(e)
 
-    def _generate(self, key, reqs: list[dict]) -> list[bytes]:
+    def _generate(self, key, reqs: list[dict]):
+        """-> (list of stamped png bytes, device-work seconds)."""
         import jax
         import jax.numpy as jnp
         import numpy as np
@@ -503,6 +523,11 @@ class RequestBatcher:
         pipe, args = self.pipe, self.args
         n = len(reqs)
         rows = reqs + [reqs[-1]] * (self.max_batch - n)
+        # timer covers text encode + latents + denoise + decode — the
+        # same work the dp=1 path times inside its lock (pipe(prompt=...)
+        # encodes internally), so X-F-Lite-Seconds and the dispatch
+        # metrics compare across modes; only PNG encode stays outside
+        t0 = time.perf_counter()
         embeds, mask = pipe.text_encoder.encode([r["prompt"] for r in rows])
         embeds, mask = np.asarray(embeds), np.asarray(mask)
         negs = [r["negative_prompt"] for r in rows]
@@ -536,10 +561,6 @@ class RequestBatcher:
                               (1, lh, lw, cfg.in_channels), cfg.dtype)
             for r in rows
         ], axis=0)
-        # timed around the device work only (text encode / PNG encode are
-        # host-side): X-F-Lite-Seconds and the latency metrics stay
-        # comparable with the dp=1 path's inside-the-lock timing
-        t0 = time.perf_counter()
         out = pipe(
             prompt_embeds=embeds,
             negative_embeds=nemb,
@@ -730,12 +751,17 @@ def make_http_server(pipe, args, host="127.0.0.1", port=0, batcher=None):
                 r = _parse_request(req)
             except BadRequest as e:
                 return self._json(400, {"error": str(e)})
+            # only the flag check / counter update happen under drain_cv:
+            # socket writes (the 503 body) can stall on a slow client and
+            # must never hold the lock drain_wait and the decrements need
             with drain_cv:
-                if drain["on"]:
-                    return self._json(503, {
-                        "error": "server is draining (shutting down)"
-                    })
-                drain["inflight"] += 1
+                rejected = drain["on"]
+                if not rejected:
+                    drain["inflight"] += 1
+            if rejected:
+                return self._json(503, {
+                    "error": "server is draining (shutting down)"
+                })
             try:
                 return self._generate_locked(r)
             finally:

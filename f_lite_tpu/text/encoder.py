@@ -207,6 +207,14 @@ class PrecomputedTextEncoder:
             return int(np.load(f, mmap_mode="r").shape[-1])
         raise FileNotFoundError(f"no embeddings under {d}")
 
+    def has(self, prompt: str) -> bool:
+        """Whether `prompt` is cached — existence only, nothing loaded
+        (serve.py's fail-fast preflight before the multi-minute model
+        load)."""
+        return (self.root / "text_embeddings" / (
+            f"embedding_{caption_cache_key(prompt)}.npy"
+        )).exists()
+
     def encode(self, prompts):
         embs = []
         for p in prompts:

@@ -130,6 +130,29 @@ class TestServe:
                   "--batch_size", "16", "--dp", "16", "--width", "16",
                   "--height", "16", "--no_text_encoder"])
 
+    def test_precomputed_preflight_fails_fast(self, model_dir, tmp_path):
+        """A caption missing from the precompute cache (negative prompt
+        included) must error BEFORE the model load."""
+        import numpy as np
+
+        from f_lite_tpu.serve import main
+        from f_lite_tpu.text.encoder import caption_cache_key
+
+        cache = tmp_path / "cache"
+        (cache / "text_embeddings").mkdir(parents=True)
+        np.save(
+            cache / "text_embeddings"
+            / f"embedding_{caption_cache_key('a cat')}.npy",
+            np.zeros((4, 32), np.float32),
+        )
+        pf = tmp_path / "p.txt"
+        pf.write_text("a cat\n")
+        with pytest.raises(SystemExit, match="not in the precompute"):
+            main(["--model", str(model_dir), "--prompts", str(pf),
+                  "--precomputed_dir", str(cache),
+                  "--negative_prompt", "never cached",
+                  "--width", "16", "--height", "16"])
+
     def test_mode_selection_requires_exactly_one(self, model_dir):
         from f_lite_tpu.serve import main
 

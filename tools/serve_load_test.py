@@ -34,10 +34,17 @@ import urllib.request
 from pathlib import Path
 
 
-def wait_healthy(url: str, timeout_s: float) -> float:
+def wait_healthy(url: str, timeout_s: float, proc=None) -> float:
     t0 = time.perf_counter()
     deadline = t0 + timeout_s
     while time.perf_counter() < deadline:
+        if proc is not None and proc.poll() is not None:
+            # fail NOW on a crashed server instead of polling out the
+            # full (multi-minute) startup timeout
+            raise SystemExit(
+                f"server exited with code {proc.returncode} during "
+                "startup — see /tmp/serve_load_server.log"
+            )
         try:
             with urllib.request.urlopen(url + "/healthz", timeout=10):
                 return time.perf_counter() - t0
@@ -106,7 +113,7 @@ def main():
             log = open("/tmp/serve_load_server.log", "w")
             proc = subprocess.Popen(cmd, stdout=log, stderr=log)
             url = f"http://127.0.0.1:{args.port}"
-            startup_s = wait_healthy(url, args.startup_timeout)
+            startup_s = wait_healthy(url, args.startup_timeout, proc=proc)
         else:
             wait_healthy(url, 30.0)
 
