@@ -52,7 +52,12 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description="batched F-Lite serving")
     p.add_argument("--model", required=True)
     p.add_argument("--prompts", default=None,
-                   help="text file, one prompt per line (batch mode)")
+                   help="batch mode input: a text file (one prompt per "
+                        "line, one seed per batch) or a .jsonl file — "
+                        "each line {\"prompt\": ..., "
+                        "\"negative_prompt\"?, \"seed\"?} gets its own "
+                        "latents, so every row is reproducible alone "
+                        "(generate --from_png) regardless of batching")
     p.add_argument("--http_port", type=int, default=None,
                    help="serve an HTTP endpoint on this port instead of "
                         "a prompts file (POST /generate, GET /healthz)")
@@ -197,6 +202,48 @@ def build_pipeline(args):
     return pipe
 
 
+def _load_jsonl_rows(path: Path, args) -> list[dict]:
+    """Parse a .jsonl prompts file into per-row request dicts.
+
+    Each line: {"prompt": str, "negative_prompt"?: str, "seed"?: int}.
+    Missing negatives inherit --negative_prompt; missing seeds count up
+    from --seed in file order (stable under re-runs)."""
+    rows: list[dict] = []
+    for ln, line in enumerate(path.read_text().splitlines(), 1):
+        if not line.strip():
+            continue
+        try:
+            r = json.loads(line)
+        except ValueError as e:
+            raise SystemExit(f"{path}:{ln}: invalid JSON ({e})")
+        if not isinstance(r, dict) or not isinstance(r.get("prompt"), str) \
+                or not r["prompt"].strip():
+            raise SystemExit(
+                f"{path}:{ln}: each line must be an object with a "
+                "non-empty string 'prompt'"
+            )
+        unknown = sorted(set(r) - {"prompt", "negative_prompt", "seed"})
+        if unknown:
+            raise SystemExit(
+                f"{path}:{ln}: unknown keys {unknown} (width/steps/... "
+                "come from the launch flags)"
+            )
+        neg = r.get("negative_prompt", args.negative_prompt)
+        if neg is not None and not isinstance(neg, str):
+            raise SystemExit(f"{path}:{ln}: negative_prompt must be a "
+                             "string")
+        seed = r.get("seed")
+        if seed is None:
+            seed = args.seed + len(rows)
+        elif not isinstance(seed, int) or isinstance(seed, bool):
+            raise SystemExit(f"{path}:{ln}: seed must be an integer")
+        rows.append({"prompt": r["prompt"], "negative_prompt": neg or None,
+                     "seed": seed})
+    if not rows:
+        raise SystemExit(f"no rows in {path}")
+    return rows
+
+
 def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     args = parse_args(argv)
@@ -214,13 +261,19 @@ def main(argv=None):
             f"--dp {args.dp} (each dp shard denoises batch/dp rows)"
         )
 
+    rows = None  # .jsonl mode: per-row prompt/negative/seed dicts
     if args.prompts is not None:
         # read + validate before the (multi-minute at 7B) model load so
         # a typo'd path fails immediately
-        prompts = [
-            l.strip() for l in Path(args.prompts).read_text().splitlines()
-            if l.strip()
-        ]
+        if args.prompts.endswith(".jsonl"):
+            rows = _load_jsonl_rows(Path(args.prompts), args)
+            prompts = [r["prompt"] for r in rows]
+        else:
+            prompts = [
+                l.strip()
+                for l in Path(args.prompts).read_text().splitlines()
+                if l.strip()
+            ]
         if not prompts:
             raise SystemExit(f"no prompts in {args.prompts}")
         if args.precomputed_dir:
@@ -230,9 +283,12 @@ def main(argv=None):
             from f_lite_tpu.text.encoder import PrecomputedTextEncoder
 
             te = PrecomputedTextEncoder(args.precomputed_dir)
-            need = prompts + (
-                [args.negative_prompt] if args.negative_prompt else []
-            )
+            need = list(prompts)
+            if rows is not None:
+                need += [r["negative_prompt"] for r in rows
+                         if r["negative_prompt"]]
+            elif args.negative_prompt:
+                need.append(args.negative_prompt)
             missing = [p for p in need if not te.has(p)]
             if missing:
                 raise SystemExit(
@@ -252,7 +308,8 @@ def main(argv=None):
     # pad the final batch so every dispatch reuses one compiled shape
     bs = args.batch_size
     n = len(prompts)
-    padded = prompts + [prompts[-1]] * ((-n) % bs)
+    items = rows if rows is not None else prompts
+    padded = items + [items[-1]] * ((-n) % bs)
 
     results = []
     # PNG encode+write happens on threads so the chip starts the next
@@ -261,39 +318,56 @@ def main(argv=None):
 
     saver = ThreadPoolExecutor(2)
     pending = []
+    shared_kwargs = dict(
+        height=args.height, width=args.width,
+        num_inference_steps=args.steps,
+        guidance_scale=args.guidance_scale,
+        guidance_interval=args.guidance_interval,
+        steps_per_dispatch=args.steps_per_dispatch,
+        sampler=args.sampler,
+        # without the bucket, the denoise jit key tracks each batch's
+        # longest-prompt padded-to-8 text length — N batches could
+        # mean N compiles; with it, "one compilation per (batch,
+        # resolution, steps) key" (module docstring) actually holds
+        pad_context_to=args.text_bucket or None,
+    )
     t_start = time.perf_counter()
     for bi in range(0, len(padded), bs):
         chunk = padded[bi : bi + bs]
         t0 = time.perf_counter()
-        out = pipe(
-            prompt=chunk,
-            negative_prompt=(
-                [args.negative_prompt] * len(chunk)
-                if args.negative_prompt else None
-            ),
-            height=args.height, width=args.width,
-            num_inference_steps=args.steps,
-            guidance_scale=args.guidance_scale,
-            guidance_interval=args.guidance_interval,
-            seed=args.seed + bi,
-            steps_per_dispatch=args.steps_per_dispatch,
-            sampler=args.sampler,
-            # without the bucket, the denoise jit key tracks each batch's
-            # longest-prompt padded-to-8 text length — N batches could
-            # mean N compiles; with it, "one compilation per (batch,
-            # resolution, steps) key" (module docstring) actually holds
-            pad_context_to=args.text_bucket or None,
-        )
+        if rows is not None:
+            # .jsonl: per-row negatives + per-row seeded latents (the
+            # HTTP batcher's exact-solo-reproduction semantics)
+            embeds, mask, nemb, nmask = _encode_rows(
+                pipe,
+                [r["prompt"] for r in chunk],
+                [r["negative_prompt"] for r in chunk],
+            )
+            out = pipe(
+                prompt_embeds=embeds, negative_embeds=nemb,
+                context_mask=mask, negative_context_mask=nmask,
+                latents=_row_latents(pipe, [r["seed"] for r in chunk],
+                                     args.height, args.width),
+                **shared_kwargs,
+            )
+        else:
+            out = pipe(
+                prompt=chunk,
+                negative_prompt=(
+                    [args.negative_prompt] * len(chunk)
+                    if args.negative_prompt else None
+                ),
+                seed=args.seed + bi,
+                **shared_kwargs,
+            )
         dt = time.perf_counter() - t0
         for j, img in enumerate(out.images):
             idx = bi + j
             if idx >= n:
                 break
             f = out_dir / f"{idx:05d}.png"
-            pending.append(saver.submit(save_with_metadata, img, f, {
+            meta = {
                 "prompt": prompts[idx],
-                "negative_prompt": args.negative_prompt,
-                "seed": args.seed + bi,
                 "width": args.width, "height": args.height,
                 "steps": args.steps,
                 "guidance_scale": args.guidance_scale,
@@ -301,11 +375,24 @@ def main(argv=None):
                 "sampler": args.sampler,
                 "model": args.model,
                 "quantize": args.quantize or None,
+            }
+            if rows is not None:
+                # per-row latents: the row reproduces alone, no batch
+                # composition stamp needed
+                meta["negative_prompt"] = rows[idx]["negative_prompt"]
+                meta["seed"] = rows[idx]["seed"]
+            else:
+                meta["negative_prompt"] = args.negative_prompt
+                meta["seed"] = args.seed + bi
                 # one seed draws the whole batch: exact reproduction
                 # needs the same batch composition (--from_png warns)
-                "batch_size": bs, "batch_index": j,
-            }))
-            results.append({"prompt": prompts[idx], "file": str(f)})
+                meta["batch_size"] = bs
+                meta["batch_index"] = j
+            pending.append(saver.submit(save_with_metadata, img, f, meta))
+            entry = {"prompt": prompts[idx], "file": str(f)}
+            if rows is not None:
+                entry["seed"] = rows[idx]["seed"]
+            results.append(entry)
         logger.info("batch %d: %.2fs (%.2fs/image)",
                     bi // bs, dt, dt / len(chunk))
     for fut in pending:
@@ -323,6 +410,52 @@ def main(argv=None):
         "images_per_min": round(60.0 * n / wall, 2),
     }))
     return manifest
+
+
+def _encode_rows(pipe, prompts, negs):
+    """(embeds, mask, neg_embeds, neg_mask) for per-row prompts with
+    OPTIONAL per-row negatives. Rows whose negative is None/"" keep the
+    reference zeros semantics exactly like a solo call
+    (`pipeline.py:161`), and encoders that cannot encode arbitrary text
+    (PrecomputedTextEncoder) never see the absent rows. Shared by the
+    HTTP RequestBatcher and the JSONL batch mode."""
+    import numpy as np
+
+    embeds, mask = pipe.text_encoder.encode(list(prompts))
+    embeds, mask = np.asarray(embeds), np.asarray(mask)
+    with_neg = [i for i, x in enumerate(negs) if x]
+    if with_neg:
+        sub, subm = pipe.text_encoder.encode(
+            [negs[i] for i in with_neg]
+        )
+        sub, subm = np.asarray(sub), np.asarray(subm)
+        nemb = np.zeros(
+            (len(prompts), sub.shape[1], sub.shape[2]), np.float32
+        )
+        nmask = np.ones((len(prompts), subm.shape[1]), bool)
+        nemb[with_neg] = sub
+        nmask[with_neg] = subm
+    else:
+        nemb = np.zeros_like(embeds)
+        nmask = np.ones(mask.shape, bool)
+    return embeds, mask, nemb, nmask
+
+
+def _row_latents(pipe, seeds, height, width):
+    """One latent row per seed — each row is the exact draw a solo call
+    with that seed makes, so batching never changes what a seed
+    produces (and any row is reproducible alone)."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = pipe.dit_model.config
+    lh = height // pipe.vae_scale_factor
+    lw = width // pipe.vae_scale_factor
+    return jnp.concatenate([
+        jax.random.normal(jax.random.key(s),
+                          (1, lh, lw, cfg.in_channels), cfg.dtype)
+        for s in seeds
+    ], axis=0)
 
 
 class ServerMetrics:
@@ -513,10 +646,6 @@ class RequestBatcher:
 
     def _generate(self, key, reqs: list[dict]):
         """-> (list of stamped png bytes, device-work seconds)."""
-        import jax
-        import jax.numpy as jnp
-        import numpy as np
-
         from f_lite_tpu.utils.image import png_bytes_with_metadata
 
         width, height, steps, sampler, g = key
@@ -528,39 +657,12 @@ class RequestBatcher:
         # encodes internally), so X-F-Lite-Seconds and the dispatch
         # metrics compare across modes; only PNG encode stays outside
         t0 = time.perf_counter()
-        embeds, mask = pipe.text_encoder.encode([r["prompt"] for r in rows])
-        embeds, mask = np.asarray(embeds), np.asarray(mask)
-        negs = [r["negative_prompt"] for r in rows]
-        with_neg = [i for i, x in enumerate(negs) if x]
-        if with_neg:
-            # encode ONLY the rows that have a negative: rows without one
-            # keep the reference zeros semantics exactly like a batch-1
-            # call (`pipeline.py:161`), and encoders that cannot encode
-            # arbitrary text (PrecomputedTextEncoder raises on uncached
-            # captions, "" included) never see the absent rows
-            sub, subm = pipe.text_encoder.encode(
-                [negs[i] for i in with_neg]
-            )
-            sub, subm = np.asarray(sub), np.asarray(subm)
-            nemb = np.zeros(
-                (len(rows), sub.shape[1], sub.shape[2]), np.float32
-            )
-            nmask = np.ones((len(rows), subm.shape[1]), bool)
-            nemb[with_neg] = sub
-            nmask[with_neg] = subm
-        else:
-            nemb = np.zeros_like(embeds)
-            nmask = np.ones(mask.shape, bool)
-        cfg = pipe.dit_model.config
-        lh = height // pipe.vae_scale_factor
-        lw = width // pipe.vae_scale_factor
-        # one latent row per request seed == the batch-1 draw for that
-        # seed: batching must not change what a seed produces
-        lat = jnp.concatenate([
-            jax.random.normal(jax.random.key(r["seed"]),
-                              (1, lh, lw, cfg.in_channels), cfg.dtype)
-            for r in rows
-        ], axis=0)
+        embeds, mask, nemb, nmask = _encode_rows(
+            pipe,
+            [r["prompt"] for r in rows],
+            [r["negative_prompt"] for r in rows],
+        )
+        lat = _row_latents(pipe, [r["seed"] for r in rows], height, width)
         out = pipe(
             prompt_embeds=embeds,
             negative_embeds=nemb,

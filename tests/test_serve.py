@@ -130,6 +130,57 @@ class TestServe:
                   "--batch_size", "16", "--dp", "16", "--width", "16",
                   "--height", "16", "--no_text_encoder"])
 
+    def test_jsonl_rows_reproduce_solo(self, model_dir, tmp_path):
+        """.jsonl batch mode: per-row negatives/seeds with per-row
+        latents — a row's image must not depend on how it was batched,
+        and its metadata must reproduce it alone."""
+        import numpy as np
+        from PIL import Image
+
+        from f_lite_tpu.serve import main
+        from f_lite_tpu.utils.image import read_metadata
+
+        jf = tmp_path / "p.jsonl"
+        jf.write_text("\n".join([
+            '{"prompt": "a cat", "seed": 7}',
+            '{"prompt": "a dog", "negative_prompt": "blurry"}',
+            '{"prompt": "a bird", "seed": 42}',
+        ]) + "\n")
+        base = ["--model", str(model_dir), "--prompts", str(jf),
+                "--width", "16", "--height", "16", "--steps", "2",
+                "--seed", "100", "--no_text_encoder"]
+        m2 = main(base + ["--batch_size", "2",
+                          "--output_dir", str(tmp_path / "b2")])
+        m1 = main(base + ["--batch_size", "1",
+                          "--output_dir", str(tmp_path / "b1")])
+        assert [r["seed"] for r in m2["images"]] == [7, 101, 42]
+        assert [r["seed"] for r in m1["images"]] == [7, 101, 42]
+        for i in range(3):
+            a = np.asarray(Image.open(tmp_path / "b2" / f"{i:05d}.png"),
+                           np.float32)
+            b = np.asarray(Image.open(tmp_path / "b1" / f"{i:05d}.png"),
+                           np.float32)
+            assert np.max(np.abs(a - b)) <= 2.0, i
+        meta = read_metadata(tmp_path / "b2" / "00001.png")
+        assert meta["negative_prompt"] == "blurry"
+        assert meta["seed"] == 101
+        assert "batch_size" not in meta  # rows reproduce alone
+
+    @pytest.mark.parametrize("line,frag", [
+        ('{"prompt": ""}', "non-empty"),
+        ('{"prompt": "x", "width": 32}', "unknown keys"),
+        ('{"prompt": "x", "seed": "five"}', "seed must be"),
+        ("not json", "invalid JSON"),
+    ])
+    def test_jsonl_validation(self, model_dir, tmp_path, line, frag):
+        from f_lite_tpu.serve import main
+
+        jf = tmp_path / "p.jsonl"
+        jf.write_text(line + "\n")
+        with pytest.raises(SystemExit, match=frag):
+            main(["--model", str(model_dir), "--prompts", str(jf),
+                  "--width", "16", "--height", "16"])
+
     def test_precomputed_preflight_fails_fast(self, model_dir, tmp_path):
         """A caption missing from the precompute cache (negative prompt
         included) must error BEFORE the model load."""
