@@ -892,6 +892,12 @@ def make_http_server(pipe, args, host="127.0.0.1", port=0, batcher=None):
                         "quantize": args.quantize or None,
                         "guidance_interval": args.guidance_interval,
                     })
+            except KeyError as e:
+                # a --precomputed_dir server can only serve cached
+                # captions (PrecomputedTextEncoder raises KeyError):
+                # that's a client error, not a server fault
+                return self._json(400, {"error": str(e.args[0]) if e.args
+                                        else "caption not precomputed"})
             except Exception:
                 logger.exception("generation failed")
                 return self._json(500, {"error": "generation failed "
@@ -956,6 +962,35 @@ def _serve_generate(pipe, args, r: dict):
     )
 
 
+def _warm_by_embeds(pipe, args):
+    """Warm the default serving shape WITHOUT the text encoder: a
+    --precomputed_dir server has no caption guaranteed cached (the
+    literal \"warmup\" certainly isn't), so this drives the
+    denoise+decode program directly with zero embeds at the bucketed
+    context length and batch = dp rows — the same jit key real requests
+    hit (shapes, not values, key the compile)."""
+    import numpy as np
+
+    b = max(args.dp, 1)
+    s = args.text_bucket or 8
+    c = pipe.dit_model.config.cross_attn_input_size
+    emb = np.zeros((b, s, c), np.float32)
+    mask = np.ones((b, s), bool)
+    pipe(
+        prompt_embeds=emb, negative_embeds=np.zeros_like(emb),
+        context_mask=mask, negative_context_mask=mask,
+        latents=_row_latents(pipe, list(range(b)),
+                             args.height, args.width),
+        height=args.height, width=args.width,
+        num_inference_steps=args.steps,
+        guidance_scale=args.guidance_scale,
+        guidance_interval=args.guidance_interval,
+        steps_per_dispatch=args.steps_per_dispatch,
+        sampler=args.sampler,
+        pad_context_to=args.text_bucket or None,
+    )
+
+
 def run_http(pipe, args):
     """Warm the default shape, then serve until interrupted."""
     logger.info("pre-compiling the default shape %dx%d/%d steps...",
@@ -974,7 +1009,14 @@ def run_http(pipe, args):
         guidance_scale=args.guidance_scale, sampler=args.sampler, seed=0,
     )
     batcher = None
-    if args.dp > 1:
+    if args.precomputed_dir:
+        # can't encode an arbitrary warmup caption against a cache:
+        # warm the compiled shapes by embeds instead (still before the
+        # port binds), then start the batcher if dp > 1
+        _warm_by_embeds(pipe, args)
+        if args.dp > 1:
+            batcher = RequestBatcher.from_args(pipe, args)
+    elif args.dp > 1:
         # the batcher pads every dispatch to batch=dp: warm THROUGH it so
         # the compiled shape is the one requests will hit — still before
         # the port binds

@@ -385,6 +385,81 @@ class TestHTTP:
         assert seeds == [0, 1, 2]
 
 
+class TestHTTPPrecomputed:
+    def test_uncached_caption_is_400_not_500(self, model_dir, tmp_path):
+        """A --precomputed_dir server can only serve cached captions;
+        an unknown one is the client's error."""
+        import json as _json
+        import threading
+        import urllib.error
+        import urllib.request
+
+        import numpy as np
+
+        from f_lite_tpu.serve import build_pipeline, make_http_server, \
+            parse_args
+        from f_lite_tpu.text.encoder import caption_cache_key
+
+        cache = tmp_path / "cache"
+        (cache / "text_embeddings").mkdir(parents=True)
+        np.save(
+            cache / "text_embeddings"
+            / f"embedding_{caption_cache_key('a cat')}.npy",
+            np.random.RandomState(0).randn(8, 32).astype(np.float32),
+        )
+        args = parse_args([
+            "--model", str(model_dir), "--http_port", "0",
+            "--width", "16", "--height", "16", "--steps", "1",
+            "--precomputed_dir", str(cache),
+        ])
+        pipe = build_pipeline(args)
+        srv = make_http_server(pipe, args, port=0)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        host, port = srv.server_address[:2]
+        try:
+            for prompt, want in (("a cat", 200), ("a dog", 400)):
+                req = urllib.request.Request(
+                    f"http://{host}:{port}/generate",
+                    data=_json.dumps({"prompt": prompt,
+                                      "seed": 1}).encode(),
+                )
+                try:
+                    with urllib.request.urlopen(req, timeout=120) as r:
+                        assert r.status == want, prompt
+                except urllib.error.HTTPError as e:
+                    assert e.code == want, prompt
+                    assert "precomputed" in _json.loads(
+                        e.read())["error"]
+        finally:
+            srv.shutdown()
+            srv.server_close()
+
+    def test_warmup_does_not_need_a_cached_caption(self, model_dir,
+                                                   tmp_path):
+        """run_http warms a precomputed-cache server by embeds — the
+        literal 'warmup' caption is never in a cache (a startup crash
+        found by a CLI drive)."""
+        import numpy as np
+
+        from f_lite_tpu.serve import _warm_by_embeds, build_pipeline, \
+            parse_args
+        from f_lite_tpu.text.encoder import caption_cache_key
+
+        cache = tmp_path / "cache"
+        (cache / "text_embeddings").mkdir(parents=True)
+        np.save(
+            cache / "text_embeddings"
+            / f"embedding_{caption_cache_key('x')}.npy",
+            np.zeros((8, 32), np.float32),
+        )
+        args = parse_args([
+            "--model", str(model_dir), "--http_port", "0",
+            "--width", "16", "--height", "16", "--steps", "1",
+            "--precomputed_dir", str(cache),
+        ])
+        _warm_by_embeds(build_pipeline(args), args)  # must not raise
+
+
 class TestGracefulDrain:
     """SIGTERM drain: new work 503s, in-flight finishes, drain_wait
     unblocks (run_http wires SIGTERM to exactly this sequence)."""
