@@ -99,6 +99,13 @@ def parse_args(argv=None):
                         "Batch mode: --batch_size must be divisible by "
                         "--dp. HTTP mode: queued same-shape requests are "
                         "microbatched into one dp-sharded dispatch")
+    p.add_argument("--warmup_shapes", type=str, default=None,
+                   help="HTTP mode: extra WxH shapes to pre-compile "
+                        "before the port binds, e.g. "
+                        "'1344x896,896x1344' — requests for these "
+                        "resolutions then skip the first-hit compile "
+                        "spike (the --width x --height default is "
+                        "always warmed)")
     p.add_argument("--batch_window_ms", type=float, default=100.0,
                    help="HTTP + --dp > 1: how long the batcher waits for "
                         "more same-shape requests before dispatching a "
@@ -260,6 +267,10 @@ def main(argv=None):
             f"--batch_size {args.batch_size} must be divisible by "
             f"--dp {args.dp} (each dp shard denoises batch/dp rows)"
         )
+    if args.warmup_shapes:
+        if args.http_port is None:
+            raise SystemExit("--warmup_shapes applies to HTTP mode")
+        _parse_warmup_shapes(args.warmup_shapes)  # fail fast, pre-load
 
     rows = None  # .jsonl mode: per-row prompt/negative/seed dicts
     if args.prompts is not None:
@@ -962,8 +973,30 @@ def _serve_generate(pipe, args, r: dict):
     )
 
 
-def _warm_by_embeds(pipe, args):
-    """Warm the default serving shape WITHOUT the text encoder: a
+def _parse_warmup_shapes(spec: str) -> list[tuple[int, int]]:
+    """--warmup_shapes 'WxH,WxH' -> [(w, h)], validated like requests."""
+    shapes = []
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        try:
+            w, h = (int(x) for x in part.lower().split("x"))
+        except ValueError:
+            raise SystemExit(
+                f"--warmup_shapes: bad entry {part!r} (want WxH)"
+            )
+        if not (16 <= w <= 2048 and 16 <= h <= 2048) or w % 16 or h % 16:
+            raise SystemExit(
+                f"--warmup_shapes: {part}: sides must be multiples of "
+                "16 in [16, 2048]"
+            )
+        shapes.append((w, h))
+    return shapes
+
+
+def _warm_by_embeds(pipe, args, width=None, height=None):
+    """Warm a serving shape WITHOUT the text encoder: a
     --precomputed_dir server has no caption guaranteed cached (the
     literal \"warmup\" certainly isn't), so this drives the
     denoise+decode program directly with zero embeds at the bucketed
@@ -971,6 +1004,8 @@ def _warm_by_embeds(pipe, args):
     hit (shapes, not values, key the compile)."""
     import numpy as np
 
+    width = width or args.width
+    height = height or args.height
     b = max(args.dp, 1)
     s = args.text_bucket or 8
     c = pipe.dit_model.config.cross_attn_input_size
@@ -979,9 +1014,8 @@ def _warm_by_embeds(pipe, args):
     pipe(
         prompt_embeds=emb, negative_embeds=np.zeros_like(emb),
         context_mask=mask, negative_context_mask=mask,
-        latents=_row_latents(pipe, list(range(b)),
-                             args.height, args.width),
-        height=args.height, width=args.width,
+        latents=_row_latents(pipe, list(range(b)), height, width),
+        height=height, width=width,
         num_inference_steps=args.steps,
         guidance_scale=args.guidance_scale,
         guidance_interval=args.guidance_interval,
@@ -992,38 +1026,47 @@ def _warm_by_embeds(pipe, args):
 
 
 def run_http(pipe, args):
-    """Warm the default shape, then serve until interrupted."""
-    logger.info("pre-compiling the default shape %dx%d/%d steps...",
-                args.width, args.height, args.steps)
-    # one real request through the exact serving path (text encode ->
-    # bucketed context -> denoise -> decode); without --text_bucket the
-    # denoise jit key depends on the prompt's padded length and true
-    # pre-compilation is impossible (warn below)
+    """Warm the serving shapes, then serve until interrupted."""
+    # one real request per shape through the exact serving path (text
+    # encode -> bucketed context -> denoise -> decode); without
+    # --text_bucket the denoise jit key depends on the prompt's padded
+    # length and true pre-compilation is impossible (warn below)
     if not args.text_bucket:
         logger.warning(
             "--text_bucket 0: each distinct prompt length compiles its "
             "own denoise program — first requests will be slow")
-    warm = dict(
-        prompt="warmup", negative_prompt=None,
-        width=args.width, height=args.height, steps=args.steps,
-        guidance_scale=args.guidance_scale, sampler=args.sampler, seed=0,
-    )
+    shapes = [(args.width, args.height)]
+    if args.warmup_shapes:
+        shapes += [s for s in _parse_warmup_shapes(args.warmup_shapes)
+                   if s not in shapes]
     batcher = None
-    if args.precomputed_dir:
-        # can't encode an arbitrary warmup caption against a cache:
-        # warm the compiled shapes by embeds instead (still before the
-        # port binds), then start the batcher if dp > 1
-        _warm_by_embeds(pipe, args)
-        if args.dp > 1:
-            batcher = RequestBatcher.from_args(pipe, args)
-    elif args.dp > 1:
+    if args.dp > 1 and not args.precomputed_dir:
         # the batcher pads every dispatch to batch=dp: warm THROUGH it so
-        # the compiled shape is the one requests will hit — still before
-        # the port binds
+        # the compiled shapes are the ones requests will hit — still
+        # before the port binds
         batcher = RequestBatcher.from_args(pipe, args)
-        batcher.submit(warm).result()
-    else:
-        _serve_generate(pipe, args, warm)
+    for w, h in shapes:
+        logger.info("pre-compiling %dx%d / %d steps...", w, h, args.steps)
+        if args.precomputed_dir:
+            # can't encode an arbitrary warmup caption against a cache:
+            # warm the compiled shapes by embeds instead
+            _warm_by_embeds(pipe, args, width=w, height=h)
+        elif batcher is not None:
+            batcher.submit(dict(
+                prompt="warmup", negative_prompt=None,
+                width=w, height=h, steps=args.steps,
+                guidance_scale=args.guidance_scale,
+                sampler=args.sampler, seed=0,
+            )).result()
+        else:
+            _serve_generate(pipe, args, dict(
+                prompt="warmup", negative_prompt=None,
+                width=w, height=h, steps=args.steps,
+                guidance_scale=args.guidance_scale,
+                sampler=args.sampler, seed=0,
+            ))
+    if args.precomputed_dir and args.dp > 1:
+        batcher = RequestBatcher.from_args(pipe, args)
     server = make_http_server(pipe, args, host=args.http_host,
                               port=args.http_port, batcher=batcher)
     logger.info("serving on http://%s:%d (POST /generate)",

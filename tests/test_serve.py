@@ -204,6 +204,20 @@ class TestServe:
                   "--negative_prompt", "never cached",
                   "--width", "16", "--height", "16"])
 
+    def test_warmup_shapes_parse_and_validate(self, model_dir):
+        from f_lite_tpu.serve import _parse_warmup_shapes, main
+
+        assert _parse_warmup_shapes("1344x896, 896X1344") == [
+            (1344, 896), (896, 1344)
+        ]
+        with pytest.raises(SystemExit, match="bad entry"):
+            _parse_warmup_shapes("1024")
+        with pytest.raises(SystemExit, match="multiples of 16"):
+            _parse_warmup_shapes("1000x1000")
+        with pytest.raises(SystemExit, match="HTTP mode"):
+            main(["--model", str(model_dir), "--prompts", "x.txt",
+                  "--warmup_shapes", "1024x1024"])
+
     def test_mode_selection_requires_exactly_one(self, model_dir):
         from f_lite_tpu.serve import main
 
