@@ -242,8 +242,13 @@ def _load_jsonl_rows(path: Path, args) -> list[dict]:
         seed = r.get("seed")
         if seed is None:
             seed = args.seed + len(rows)
-        elif not isinstance(seed, int) or isinstance(seed, bool):
-            raise SystemExit(f"{path}:{ln}: seed must be an integer")
+        elif not isinstance(seed, int) or isinstance(seed, bool) \
+                or not 0 <= seed <= 2**31 - 1:
+            # same bounds as the HTTP endpoint — an out-of-int64 seed
+            # passing here would only crash after the model load
+            raise SystemExit(
+                f"{path}:{ln}: seed must be an integer in [0, 2^31-1]"
+            )
         rows.append({"prompt": r["prompt"], "negative_prompt": neg or None,
                      "seed": seed})
     if not rows:
@@ -730,6 +735,14 @@ def make_http_server(pipe, args, host="127.0.0.1", port=0, batcher=None):
     from f_lite_tpu.sampling.euler import SAMPLERS
     from f_lite_tpu.utils.image import png_bytes_with_metadata
 
+    from f_lite_tpu.text.encoder import PrecomputedTextEncoder
+
+    # cache-backed server: preflight captions per request so one
+    # uncached caption 400s only ITS request, never a whole microbatch
+    precomputed_te = (
+        pipe.text_encoder
+        if isinstance(pipe.text_encoder, PrecomputedTextEncoder) else None
+    )
     if batcher is None and args.dp > 1:
         batcher = RequestBatcher.from_args(pipe, args)
     metrics = ServerMetrics()
@@ -788,6 +801,12 @@ def make_http_server(pipe, args, host="127.0.0.1", port=0, batcher=None):
         else:
             with seed_lock:
                 seed = next(auto_seed)
+        if precomputed_te is not None:
+            for cap in filter(None, (prompt, neg)):
+                if not precomputed_te.has(cap):
+                    raise BadRequest(
+                        f"caption not in the precompute cache: {cap!r}"
+                    )
         return dict(prompt=prompt, negative_prompt=neg or None,
                     width=width, height=height, steps=steps,
                     guidance_scale=float(g), sampler=sampler, seed=seed)
@@ -904,11 +923,19 @@ def make_http_server(pipe, args, host="127.0.0.1", port=0, batcher=None):
                         "guidance_interval": args.guidance_interval,
                     })
             except KeyError as e:
-                # a --precomputed_dir server can only serve cached
-                # captions (PrecomputedTextEncoder raises KeyError):
-                # that's a client error, not a server fault
-                return self._json(400, {"error": str(e.args[0]) if e.args
-                                        else "caption not precomputed"})
+                if precomputed_te is not None:
+                    # cache race: the embedding file vanished between the
+                    # _parse_request preflight and the encode — still the
+                    # caption's problem, not a server fault
+                    return self._json(400, {
+                        "error": str(e.args[0]) if e.args
+                        else "caption not precomputed"
+                    })
+                # on a normal server no client input legitimately raises
+                # KeyError: that's an internal bug — log it, report 500
+                logger.exception("generation failed")
+                return self._json(500, {"error": "generation failed "
+                                                 "(see server log)"})
             except Exception:
                 logger.exception("generation failed")
                 return self._json(500, {"error": "generation failed "
@@ -1035,10 +1062,11 @@ def run_http(pipe, args):
         logger.warning(
             "--text_bucket 0: each distinct prompt length compiles its "
             "own denoise program — first requests will be slow")
-    shapes = [(args.width, args.height)]
-    if args.warmup_shapes:
-        shapes += [s for s in _parse_warmup_shapes(args.warmup_shapes)
-                   if s not in shapes]
+    shapes = list(dict.fromkeys(
+        [(args.width, args.height)]
+        + (_parse_warmup_shapes(args.warmup_shapes)
+           if args.warmup_shapes else [])
+    ))
     batcher = None
     if args.dp > 1 and not args.precomputed_dir:
         # the batcher pads every dispatch to batch=dp: warm THROUGH it so
@@ -1047,24 +1075,20 @@ def run_http(pipe, args):
         batcher = RequestBatcher.from_args(pipe, args)
     for w, h in shapes:
         logger.info("pre-compiling %dx%d / %d steps...", w, h, args.steps)
+        req = dict(
+            prompt="warmup", negative_prompt=None,
+            width=w, height=h, steps=args.steps,
+            guidance_scale=args.guidance_scale,
+            sampler=args.sampler, seed=0,
+        )
         if args.precomputed_dir:
             # can't encode an arbitrary warmup caption against a cache:
             # warm the compiled shapes by embeds instead
             _warm_by_embeds(pipe, args, width=w, height=h)
         elif batcher is not None:
-            batcher.submit(dict(
-                prompt="warmup", negative_prompt=None,
-                width=w, height=h, steps=args.steps,
-                guidance_scale=args.guidance_scale,
-                sampler=args.sampler, seed=0,
-            )).result()
+            batcher.submit(req).result()
         else:
-            _serve_generate(pipe, args, dict(
-                prompt="warmup", negative_prompt=None,
-                width=w, height=h, steps=args.steps,
-                guidance_scale=args.guidance_scale,
-                sampler=args.sampler, seed=0,
-            ))
+            _serve_generate(pipe, args, req)
     if args.precomputed_dir and args.dp > 1:
         batcher = RequestBatcher.from_args(pipe, args)
     server = make_http_server(pipe, args, host=args.http_host,

@@ -165,6 +165,22 @@ class TestServe:
         assert meta["negative_prompt"] == "blurry"
         assert meta["seed"] == 101
         assert "batch_size" not in meta  # rows reproduce alone
+        # and reproduce via the PIPELINE's own solo draw (the actual
+        # --from_png path), not just another serve batching — guards
+        # _row_latents against diverging from the internal seed draw
+        from f_lite_tpu.pipeline import FLitePipeline
+        from f_lite_tpu.text.encoder import ZeroTextEncoder
+
+        pipe = FLitePipeline.from_pretrained(
+            model_dir, text_encoder=ZeroTextEncoder(32)
+        )
+        solo = pipe(prompt="a cat", height=16, width=16,
+                    num_inference_steps=2, guidance_scale=6.0, seed=7,
+                    pad_context_to=128)
+        sa = np.asarray(solo.images[0], np.float32)
+        b0 = np.asarray(Image.open(tmp_path / "b1" / "00000.png"),
+                        np.float32)
+        assert np.max(np.abs(sa - b0)) <= 2.0
 
     @pytest.mark.parametrize("line,frag", [
         ('{"prompt": ""}', "non-empty"),
@@ -442,7 +458,7 @@ class TestHTTPPrecomputed:
                         assert r.status == want, prompt
                 except urllib.error.HTTPError as e:
                     assert e.code == want, prompt
-                    assert "precomputed" in _json.loads(
+                    assert "precompute" in _json.loads(
                         e.read())["error"]
         finally:
             srv.shutdown()
