@@ -20,8 +20,9 @@ with no cross-shard communication beyond the CFG row exchange).
 HTTP mode (`--http_port`) serves the same pipeline as an endpoint
 (stdlib-only, no new dependencies): `POST /generate` with a JSON body
 `{"prompt": ..., "width"?, "height"?, "steps"?, "guidance_scale"?,
-"seed"?, "negative_prompt"?, "sampler"?}` returns a parameter-stamped
-PNG; `GET /healthz` reports readiness; `GET /metrics` serves Prometheus
+"seed"?, "negative_prompt"?, "sampler"?, "image"? (base64 PNG/JPEG:
+image-to-image), "mask_image"? (base64: latent inpainting),
+"strength"?}` returns a parameter-stamped PNG; `GET /healthz` reports readiness; `GET /metrics` serves Prometheus
 counters (requests, images, device seconds, batch occupancy, p50/p95).
 The default shape is pre-compiled before the port binds, so the first
 request is fast; off-default shapes
@@ -699,11 +700,7 @@ class RequestBatcher:
         # (the stamp would trigger from_png's one-seed-per-batch warning,
         # which is about serve.py's --prompts mode, not this path)
         return [
-            png_bytes_with_metadata(img, {
-                **r, "model": args.model,
-                "quantize": args.quantize or None,
-                "guidance_interval": args.guidance_interval,
-            })
+            png_bytes_with_metadata(img, _request_metadata(r, args))
             for img, r in zip(out.images[:n], reqs)
         ], dt
 
@@ -796,6 +793,17 @@ def make_http_server(pipe, args, host="127.0.0.1", port=0, batcher=None):
         sampler = req.get("sampler", args.sampler)
         if sampler not in SAMPLERS:
             raise BadRequest(f"sampler must be one of {sorted(SAMPLERS)}")
+        image = _image_field(req, "image")
+        mask_image = _image_field(req, "mask_image")
+        if mask_image is not None and image is None:
+            raise BadRequest("mask_image requires image")
+        strength = req.get("strength", 0.8)
+        if image is not None and (
+            not isinstance(strength, (int, float))
+            or isinstance(strength, bool)
+            or not 0.0 < float(strength) <= 1.0
+        ):
+            raise BadRequest("strength must be a number in (0, 1]")
         if "seed" in req:
             seed = _int_field(req, "seed", None, 0, 2**31 - 1)
         else:
@@ -809,7 +817,37 @@ def make_http_server(pipe, args, host="127.0.0.1", port=0, batcher=None):
                     )
         return dict(prompt=prompt, negative_prompt=neg or None,
                     width=width, height=height, steps=steps,
-                    guidance_scale=float(g), sampler=sampler, seed=seed)
+                    guidance_scale=float(g), sampler=sampler, seed=seed,
+                    image=image, mask_image=mask_image,
+                    strength=float(strength))
+
+    def _image_field(req, key):
+        """Optional base64 PNG/JPEG field -> PIL image (RGB), validated
+        here so malformed uploads are a 400, not a mid-generation 500."""
+        v = req.get(key)
+        if v is None:
+            return None
+        if not isinstance(v, str):
+            raise BadRequest(f"{key} must be a base64-encoded image "
+                             "string")
+        import base64
+        import binascii
+        import io
+
+        from PIL import Image, UnidentifiedImageError
+
+        try:
+            raw = base64.b64decode(v, validate=True)
+        except (binascii.Error, ValueError):
+            raise BadRequest(f"{key}: invalid base64")
+        if len(raw) > 6 << 20:
+            raise BadRequest(f"{key}: decoded image too large (max 6 MiB)")
+        try:
+            img = Image.open(io.BytesIO(raw))
+            img.load()
+        except (UnidentifiedImageError, OSError):
+            raise BadRequest(f"{key}: not a decodable image")
+        return img
 
     class Handler(BaseHTTPRequestHandler):
         # cap on request reads: a client that stops sending mid-body (or
@@ -869,12 +907,14 @@ def make_http_server(pipe, args, host="127.0.0.1", port=0, batcher=None):
                 length = int(self.headers.get("Content-Length") or 0)
             except ValueError:
                 return self._json(400, {"error": "bad Content-Length"})
-            if not 0 <= length <= 1 << 20:
+            # 8 MiB bound: enough for a base64 PNG input image (img2img)
+            # while still refusing client-declared gigabytes up front
+            if not 0 <= length <= 1 << 23:
                 # bound the buffered body BEFORE reading it: an exposed
                 # server must not allocate client-declared sizes (the
                 # 10k prompt cap checks far less than read() would buffer)
                 return self._json(413, {"error": "body too large "
-                                                 "(max 1 MiB)"})
+                                                 "(max 8 MiB)"})
             try:
                 req = json.loads(self.rfile.read(length) or b"{}")
             except (ValueError, UnicodeDecodeError):
@@ -902,6 +942,14 @@ def make_http_server(pipe, args, host="127.0.0.1", port=0, batcher=None):
                     drain_cv.notify_all()
 
         def _generate_locked(self, r):
+            if batcher is not None and r["image"] is not None:
+                # the batcher pads to batch=N with shared traced inputs;
+                # image rows would change the compiled program per batch
+                return self._json(400, {
+                    "error": "image inputs are not supported with --dp "
+                             "request batching; use a --dp 1 server "
+                             "for image-to-image/inpainting"
+                })
             rows = 1
             try:
                 if batcher is not None:
@@ -917,11 +965,9 @@ def make_http_server(pipe, args, host="127.0.0.1", port=0, batcher=None):
                         out = _serve_generate(pipe, args, r)
                         dt = time.perf_counter() - t0
                     metrics.record_dispatch(dt, 1)
-                    png = png_bytes_with_metadata(out.images[0], {
-                        **r, "model": args.model,
-                        "quantize": args.quantize or None,
-                        "guidance_interval": args.guidance_interval,
-                    })
+                    png = png_bytes_with_metadata(
+                        out.images[0], _request_metadata(r, args)
+                    )
             except KeyError as e:
                 if precomputed_te is not None:
                     # cache race: the embedding file vanished between the
@@ -997,7 +1043,26 @@ def _serve_generate(pipe, args, r: dict):
         steps_per_dispatch=args.steps_per_dispatch,
         sampler=r["sampler"],
         pad_context_to=args.text_bucket or None,
+        # img2img/inpainting (HTTP: base64-decoded at parse time;
+        # warmup requests carry no image)
+        image=r.get("image"),
+        mask_image=r.get("mask_image"),
+        strength=r.get("strength", 0.8),
     )
+
+
+def _request_metadata(r: dict, args) -> dict:
+    """PNG-stampable metadata for an HTTP request: the PIL image/mask
+    objects are not serializable (and not reproducible from a stamp
+    anyway — stamp strength/inpaint flags instead, like the GUI)."""
+    meta = {k: v for k, v in r.items()
+            if k not in ("image", "mask_image", "strength")}
+    if r.get("image") is not None:
+        meta["strength"] = r["strength"]
+        meta["inpaint"] = (r.get("mask_image") is not None) or None
+    meta.update(model=args.model, quantize=args.quantize or None,
+                guidance_interval=args.guidance_interval)
+    return meta
 
 
 def _parse_warmup_shapes(spec: str) -> list[tuple[int, int]]:

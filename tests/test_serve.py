@@ -370,6 +370,64 @@ class TestHTTP:
             urllib.request.urlopen(req, timeout=30)
         assert ei.value.code == 400
 
+    @staticmethod
+    def _b64_png(w=16, h=16, color=(200, 30, 30)):
+        import base64
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), color).save(buf, "PNG")
+        return base64.b64encode(buf.getvalue()).decode()
+
+    def test_img2img_over_http(self, server, tmp_path):
+        status, headers, body = self._post(server, {
+            "prompt": "repaint", "seed": 3,
+            "image": self._b64_png(), "strength": 0.5,
+        })
+        assert status == 200, body
+        f = tmp_path / "i2i.png"
+        f.write_bytes(body)
+        from f_lite_tpu.utils.image import read_metadata
+
+        meta = read_metadata(f)
+        assert meta["strength"] == 0.5
+        assert "inpaint" not in meta
+        # identical request WITHOUT the image differs (the input matters)
+        s2, _, body2 = self._post(server, {"prompt": "repaint", "seed": 3})
+        assert s2 == 200 and body2 != body
+
+    def test_inpaint_over_http(self, server, tmp_path):
+        status, _, body = self._post(server, {
+            "prompt": "fix the middle", "seed": 4,
+            "image": self._b64_png(),
+            "mask_image": self._b64_png(color=(255, 255, 255)),
+            "strength": 1.0,
+        })
+        assert status == 200, body
+        f = tmp_path / "inp.png"
+        f.write_bytes(body)
+        from f_lite_tpu.utils.image import read_metadata
+
+        assert read_metadata(f)["inpaint"] is True
+
+    @pytest.mark.parametrize("body,frag", [
+        ({"prompt": "x", "image": "!!!notb64"}, "invalid base64"),
+        ({"prompt": "x", "image": "aGVsbG8="}, "not a decodable image"),
+        ({"prompt": "x", "mask_image": "__VALID_PNG__"}, "requires image"),
+        ({"prompt": "x", "strength": 2.0}, None),  # no image: ignored
+    ])
+    def test_image_field_validation(self, server, body, frag):
+        body = {k: self._b64_png() if v == "__VALID_PNG__" else v
+                for k, v in body.items()}
+        status, _, resp = self._post(server, body)
+        if frag is None:
+            assert status == 200
+        else:
+            assert status == 400
+            assert frag in json.loads(resp)["error"]
+
     def test_metrics_endpoint(self, server):
         import urllib.request
 
@@ -678,6 +736,13 @@ class TestHTTPBatched:
         finally:
             clear_mesh_rules()
         assert seen and seen[0] is not None and seen[0][0] is mesh
+
+    def test_image_inputs_rejected_when_batching(self, server):
+        status, _, resp = self._post(server, {
+            "prompt": "x", "image": TestHTTP._b64_png(),
+        })
+        assert status == 400
+        assert "--dp 1" in json.loads(resp)["error"]
 
     def test_different_shapes_do_not_batch(self, server):
         from concurrent.futures import ThreadPoolExecutor
