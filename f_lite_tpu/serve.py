@@ -844,7 +844,18 @@ def make_http_server(pipe, args, host="127.0.0.1", port=0, batcher=None):
             raise BadRequest(f"{key}: decoded image too large (max 6 MiB)")
         try:
             img = Image.open(io.BytesIO(raw))
+            # check declared dimensions BEFORE decoding pixel data: the
+            # 6 MiB compressed cap does not bound decoded size (a tiny
+            # PNG can declare gigapixels), and PIL's own decompression-
+            # bomb error is far above any size this server resizes from
+            if img.width * img.height > 4096 * 4096:
+                raise BadRequest(
+                    f"{key}: image too large "
+                    f"({img.width}x{img.height}, max 4096x4096)"
+                )
             img.load()
+        except Image.DecompressionBombError:
+            raise BadRequest(f"{key}: image too large")
         except (UnidentifiedImageError, OSError):
             raise BadRequest(f"{key}: not a decodable image")
         return img

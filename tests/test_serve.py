@@ -412,14 +412,35 @@ class TestHTTP:
 
         assert read_metadata(f)["inpaint"] is True
 
+    @staticmethod
+    def _b64_huge_header_png(w=100_000, h=100_000):
+        """Header-only PNG declaring huge dimensions: the server must
+        reject on the declared size without decoding pixel data."""
+        import base64
+        import struct
+        import zlib
+
+        def chunk(typ, data):
+            return (struct.pack(">I", len(data)) + typ + data
+                    + struct.pack(">I", zlib.crc32(typ + data)))
+
+        png = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(b""))
+               + chunk(b"IEND", b""))
+        return base64.b64encode(png).decode()
+
     @pytest.mark.parametrize("body,frag", [
         ({"prompt": "x", "image": "!!!notb64"}, "invalid base64"),
         ({"prompt": "x", "image": "aGVsbG8="}, "not a decodable image"),
         ({"prompt": "x", "mask_image": "__VALID_PNG__"}, "requires image"),
         ({"prompt": "x", "strength": 2.0}, None),  # no image: ignored
+        ({"prompt": "x", "image": "__HUGE_PNG__"}, "too large"),
     ])
     def test_image_field_validation(self, server, body, frag):
-        body = {k: self._b64_png() if v == "__VALID_PNG__" else v
+        subst = {"__VALID_PNG__": self._b64_png,
+                 "__HUGE_PNG__": self._b64_huge_header_png}
+        body = {k: subst[v]() if v in subst else v
                 for k, v in body.items()}
         status, _, resp = self._post(server, body)
         if frag is None:
