@@ -352,7 +352,9 @@ class FLitePipeline:
         divide num_heads (7B: 10, 10B: 12 on a v5e-8) shards evenly.
 
         `lora_path`: LoRA checkpoint (dir or .safetensors from the
-        trainer's `--use_lora` run) merged into the base weights at load —
+        trainer's `--use_lora` run, or a reference-format peft
+        `lora_weights.pt` — `model.py:487-495`) merged into the base
+        weights at load —
         the reference's `pt.py:108-136` inference-LoRA path. Rank is read
         from the factor shapes; `lora_alpha` defaults to the rank (the
         reference's `lora_alpha=lora_rank`)."""

@@ -131,14 +131,27 @@ def save_lora_weights(lora: dict, directory) -> None:
 
 
 def load_lora_weights(directory) -> dict:
-    """`directory` may be the checkpoint dir or the .safetensors file."""
+    """`directory` may be the checkpoint dir, the framework
+    `.safetensors` file, or a reference-format peft `lora_weights.pt`
+    (`model.py:487-495`) — the torch route converts key names and factor
+    layout via `convert.lora_torch` so a reference-trained LoRA drops
+    straight into `FLitePipeline.from_pretrained(lora_path=...)`."""
     from pathlib import Path
 
     from safetensors.numpy import load_file
 
     p = Path(directory)
     if p.is_dir():
-        p = p / "lora_weights.safetensors"
+        st = p / "lora_weights.safetensors"
+        pt = p / "lora_weights.pt"
+        p = st if st.exists() or not pt.exists() else pt
+    if p.suffix == ".pt":
+        import torch
+
+        from f_lite_tpu.convert.lora_torch import lora_from_peft_state_dict
+
+        sd = torch.load(str(p), map_location="cpu", weights_only=True)
+        return jax.tree.map(jnp.asarray, lora_from_peft_state_dict(sd))
     flat = load_file(str(p))
     tree: dict[str, Any] = {}
     for k, v in flat.items():

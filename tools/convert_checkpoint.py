@@ -53,6 +53,11 @@ def parse_args(argv=None):
     src.add_argument("--hf_dir", type=str, help="diffusers-layout dir")
     src.add_argument("--export_torch", type=str, metavar="CKPT_DIR",
                      help="reverse: framework checkpoint dir -> torch/HF")
+    src.add_argument("--export_lora", type=str, metavar="LORA_PATH",
+                     help="reverse: framework LoRA factors (trainer "
+                          "--use_lora dir or .safetensors) -> the "
+                          "reference's peft lora_weights.pt "
+                          "(model.py:487-495 / pt.py:108-136 format)")
     p.add_argument("--output_dir", required=True)
     p.add_argument("--pt_file", type=str, default=None,
                    help="(with --export_torch) also write a raw torch .pt "
@@ -286,11 +291,41 @@ def export_torch(args):
     return out
 
 
+def export_lora(args):
+    """Framework LoRA factors -> the reference's peft `lora_weights.pt`.
+
+    The output loads through the reference's own
+    `set_peft_model_state_dict` paths (inference `pt.py:108-136`, resume
+    `train.py:768-771`); the opposite direction needs no tool — the
+    pipeline's `lora_path=` accepts a reference `lora_weights.pt`
+    directly (train/lora.py `load_lora_weights`)."""
+    import numpy as np
+    import torch
+
+    from f_lite_tpu.convert import lora_to_peft_state_dict
+    from f_lite_tpu.train.lora import load_lora_weights
+
+    sd = lora_to_peft_state_dict(load_lora_weights(args.export_lora))
+    out = Path(args.output_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    path = out / "lora_weights.pt"
+    # explicit copy: jnp-backed arrays are non-writable and torch warns
+    torch.save(
+        {k: torch.from_numpy(np.array(v)) for k, v in sd.items()},
+        str(path),
+    )
+    logger.info("peft LoRA state dict (%d tensors) written to %s",
+                len(sd), path)
+    return path
+
+
 def main(argv=None):
     logging.basicConfig(level=logging.INFO)
     args = parse_args(argv)
     if args.export_torch:
         return export_torch(args)
+    if args.export_lora:
+        return export_lora(args)
 
     import numpy as np
 
