@@ -116,6 +116,12 @@ def parse_args(argv=None):
     p.add_argument("--no_text_encoder", action="store_true")
     p.add_argument("--quantize", action="store_true",
                    help="int8 weight-only DiT projections (~1.7x matmuls)")
+    p.add_argument("--lora_path", type=str, default=None,
+                   help="serve a fine-tuned LoRA: trainer --use_lora dir/"
+                        ".safetensors or a reference-format peft "
+                        "lora_weights.pt — merged into the base weights "
+                        "at load, BEFORE head padding / int8 quantization")
+    p.add_argument("--lora_scale", type=float, default=1.0)
     p.add_argument("--steps_per_dispatch", type=int, default=None,
                    help="split the denoise trajectory into dispatches of "
                         "at most N steps; default auto-bounds dispatch "
@@ -169,6 +175,8 @@ def build_pipeline(args):
         load_text_encoder=not (args.precomputed_dir or args.no_text_encoder),
         quantize=args.quantize,
         pad_heads_to=pad_heads_to,
+        lora_path=args.lora_path,
+        lora_scale=args.lora_scale,
     )
     if args.precomputed_dir:
         from f_lite_tpu.text.encoder import PrecomputedTextEncoder

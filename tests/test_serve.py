@@ -776,3 +776,75 @@ class TestHTTPBatched:
             ))
         assert all(r[0] == 200 for r in rs)
         assert [r[1]["X-F-Lite-Batch"] for r in rs] == ["1", "1"]
+
+
+class TestServeLoRA:
+    """`serve --lora_path` merges a fine-tuned adapter at load (both the
+    framework safetensors and the reference peft .pt formats)."""
+
+    @pytest.fixture(scope="class")
+    def lora_setup(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("lora_model")
+        cfg = DiTConfig(
+            in_channels=4, patch_size=2, hidden_size=64, depth=2,
+            num_heads=4, mlp_ratio=2.0, cross_attn_input_size=32,
+            use_pallas_attention=False,
+        )
+        dit = DiT(cfg)
+        params = dit.init_params(jax.random.key(0), text_len=8,
+                                 image_size=8)
+        # perturb so final_proj is non-zero and LoRA deltas reach the pixels
+        params = jax.tree.map(lambda p: p + 0.01, params)
+        vae = AutoencoderKL(VAEConfig.tiny())
+        vparams = vae.init(jax.random.key(1), jnp.zeros((1, 8, 8, 3)))
+        FLitePipeline(dit, params, vae, vparams,
+                      ZeroTextEncoder(32, 8)).save_pretrained(d / "model")
+
+        from f_lite_tpu.train.lora import init_lora_params, save_lora_weights
+
+        lora = init_lora_params(jax.random.key(2), params, rank=2)
+        lora = jax.tree.map(lambda x: x + 0.05, lora)
+        save_lora_weights(lora, d)
+        return d
+
+    def _images(self, model, extra):
+        from f_lite_tpu.serve import build_pipeline, parse_args
+
+        args = parse_args([
+            "--model", str(model), "--prompts", "unused.txt",
+            "--no_text_encoder", *extra,
+        ])
+        pipe = build_pipeline(args)
+        return pipe(prompt="l", height=16, width=16,
+                    num_inference_steps=1, seed=7,
+                    output_type="np").images
+
+    def test_lora_path_changes_output_scale_zero_is_identity(
+            self, lora_setup):
+        import numpy as np
+
+        st = lora_setup / "lora_weights.safetensors"
+        base = self._images(lora_setup / "model", [])
+        merged = self._images(lora_setup / "model",
+                              ["--lora_path", str(st)])
+        zero = self._images(lora_setup / "model",
+                            ["--lora_path", str(st), "--lora_scale", "0"])
+        assert not np.array_equal(base, merged)
+        np.testing.assert_array_equal(base, zero)
+
+    def test_reference_peft_pt_served(self, lora_setup, tmp_path):
+        import sys
+
+        import numpy as np
+
+        sys.path.insert(0, "tools")
+        from convert_checkpoint import main as convert_main
+
+        convert_main(["--export_lora",
+                      str(lora_setup / "lora_weights.safetensors"),
+                      "--output_dir", str(tmp_path)])
+        st = self._images(lora_setup / "model", [
+            "--lora_path", str(lora_setup / "lora_weights.safetensors")])
+        pt = self._images(lora_setup / "model", [
+            "--lora_path", str(tmp_path / "lora_weights.pt")])
+        np.testing.assert_array_equal(st, pt)
