@@ -65,9 +65,12 @@ def lora_to_peft_state_dict(lora: Mapping[str, Any]) -> dict:
             if attn not in _ATTNS:
                 raise ValueError(f"unexpected node {block}/{attn}")
             for target, factors in sorted(targets.items()):
-                if target not in _TARGETS or "lora_a" not in factors:
+                if target not in _TARGETS or not {"lora_a", "lora_b"} <= set(
+                    factors
+                ):
                     raise ValueError(
-                        f"unexpected node {block}/{attn}/{target}"
+                        f"unexpected node {block}/{attn}/{target} — expected "
+                        "both lora_a and lora_b factors on a known target"
                     )
                 base = f"blocks.{idx}.{attn}.{target}"
                 out[f"{base}.lora_A.weight"] = _t(factors["lora_a"])
@@ -112,6 +115,7 @@ def lora_from_peft_state_dict(sd: Mapping[str, Any]) -> dict:
             parts[2], {}
         ).setdefault(parts[3], {})
         node["lora_a" if parts[4] == "lora_A" else "lora_b"] = _t(v)
+    ranks: dict[str, int] = {}
     for block, attns in tree.items():
         for attn, targets in attns.items():
             for target, factors in targets.items():
@@ -126,4 +130,18 @@ def lora_from_peft_state_dict(sd: Mapping[str, Any]) -> dict:
                         f"A {factors['lora_a'].shape} and "
                         f"B {factors['lora_b'].shape}"
                     )
+                ranks[f"{block}/{attn}/{target}"] = factors["lora_a"].shape[1]
+    # The pipeline scales every target with one alpha/rank (train/lora.py
+    # merge); a peft adapter built with `rank_pattern` (per-module ranks)
+    # would silently mis-scale everything but the first target found.
+    if len(set(ranks.values())) > 1:
+        by_rank: dict[int, str] = {}
+        for path, r in ranks.items():
+            by_rank.setdefault(r, path)
+        raise ValueError(
+            "mixed-rank peft adapters are unsupported: a single alpha/rank "
+            "scale is applied to every target at merge time, but this "
+            "adapter uses per-module ranks "
+            + ", ".join(f"r={r} (e.g. {p})" for r, p in sorted(by_rank.items()))
+        )
     return tree

@@ -122,6 +122,12 @@ def parse_args(argv=None):
                         "lora_weights.pt — merged into the base weights "
                         "at load, BEFORE head padding / int8 quantization")
     p.add_argument("--lora_scale", type=float, default=1.0)
+    p.add_argument("--lora_alpha", type=float, default=None,
+                   help="peft lora_alpha of the adapter; default None = "
+                        "rank (the reference pt.py's lora_alpha=lora_rank "
+                        "convention). Set it when serving an adapter "
+                        "trained with alpha != rank, or equivalently pass "
+                        "--lora_scale alpha/rank")
     p.add_argument("--steps_per_dispatch", type=int, default=None,
                    help="split the denoise trajectory into dispatches of "
                         "at most N steps; default auto-bounds dispatch "
@@ -177,6 +183,7 @@ def build_pipeline(args):
         pad_heads_to=pad_heads_to,
         lora_path=args.lora_path,
         lora_scale=args.lora_scale,
+        lora_alpha=args.lora_alpha,
     )
     if args.precomputed_dir:
         from f_lite_tpu.text.encoder import PrecomputedTextEncoder

@@ -144,7 +144,12 @@ def load_lora_weights(directory) -> dict:
     if p.is_dir():
         st = p / "lora_weights.safetensors"
         pt = p / "lora_weights.pt"
-        p = st if st.exists() or not pt.exists() else pt
+        if not st.exists() and not pt.exists():
+            raise FileNotFoundError(
+                f"no LoRA weights in {p}: expected {st.name} (framework "
+                f"format) or {pt.name} (reference peft format)"
+            )
+        p = st if st.exists() else pt
     if p.suffix == ".pt":
         import torch
 

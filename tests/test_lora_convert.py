@@ -179,6 +179,31 @@ class TestRoundTrip:
                 "blocks.0.self_attn.qkv.lora_B.weight": np.zeros((16, 3)),
             })
 
+    def test_mixed_rank_adapter_rejected(self):
+        # peft rank_pattern adapters carry per-module ranks; the merge
+        # applies one alpha/rank to every target, so ingest must refuse
+        with pytest.raises(ValueError, match="mixed-rank"):
+            lora_from_peft_state_dict({
+                "blocks.0.self_attn.qkv.lora_A.weight": np.zeros((4, 8)),
+                "blocks.0.self_attn.qkv.lora_B.weight": np.zeros((24, 4)),
+                "blocks.0.self_attn.proj.lora_A.weight": np.zeros((8, 8)),
+                "blocks.0.self_attn.proj.lora_B.weight": np.zeros((8, 8)),
+            })
+
+    def test_missing_b_factor_raises(self):
+        with pytest.raises(ValueError, match="lora_a and lora_b"):
+            lora_to_peft_state_dict(
+                {"blocks_0": {"self_attn": {"qkv": {
+                    "lora_a": np.zeros((8, 4))
+                }}}}
+            )
+
+    def test_empty_lora_dir_message(self, tmp_path):
+        from f_lite_tpu.train.lora import load_lora_weights
+
+        with pytest.raises(FileNotFoundError, match="no LoRA weights"):
+            load_lora_weights(tmp_path)
+
 
 class TestPeftOracle:
     def test_export_loads_into_reference_adapter(self):
