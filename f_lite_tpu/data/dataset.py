@@ -292,12 +292,18 @@ class ImageDataset:
             logger.debug("file read failed for %s: %s", url, e)
             return None, False
 
-    def _dummy_client(self, url):
+    def _dummy_client(self, url, declared_wh=None):
         """Hermetic fake backend (`data.py:384-385`) — deterministic noise
-        images so training has non-degenerate pixels."""
+        fabricated at the row's native bucket resolution (the reference
+        keeps placeholders at real bucket shapes), so the downstream
+        `center_crop_arr` is an identity crop, not a Lanczos upscale of
+        low-res noise."""
         row_seed = abs(hash(str(url))) % (2**31)
         rs = np.random.RandomState(row_seed)
-        w, h = 64, 64
+        w, h = center_crop_arr_simulator(
+            declared_wh or (self.resolution, self.resolution),
+            self.resolution, self.max_ratio,
+        )
         arr = rs.randint(0, 255, (h, w, 3), np.uint8)
         return Image.fromarray(arr), True
 
@@ -333,7 +339,16 @@ class ImageDataset:
         if not isinstance(caption, str):
             caption = ""
 
-        img, ok = self.client(sample[self.image_column])
+        declared_wh = (
+            int(sample.get("width", self.resolution)),
+            int(sample.get("height", self.resolution)),
+        )
+        if self.client == self._dummy_client:
+            img, ok = self._dummy_client(
+                sample[self.image_column], declared_wh
+            )
+        else:
+            img, ok = self.client(sample[self.image_column])
         _id = str(sample.get("source_id", idx))
         if ok:
             img = center_crop_arr(img, self.resolution, self.max_ratio)
@@ -342,9 +357,7 @@ class ImageDataset:
             arr = normalize_image(img)
         else:
             ew, eh = center_crop_arr_simulator(
-                (int(sample.get("width", self.resolution)),
-                 int(sample.get("height", self.resolution))),
-                self.resolution, self.max_ratio,
+                declared_wh, self.resolution, self.max_ratio,
             )
             ph = self.place_holder_image.get(
                 (ew, eh), Image.new("RGB", (ew, eh))

@@ -104,6 +104,36 @@ class TestImageDataset:
         assert item["caption"].startswith(("caption", "alt caption"))
         assert item["media_type"] in ("real", "ai")
 
+    def test_dummy_pixels_fabricated_at_native_bucket_size(self, tmp_path):
+        """The hermetic backend must produce pixels at the row's bucket
+        resolution (reference data.py:384-385 keeps placeholders at real
+        bucket shapes), not low-res noise Lanczos-upscaled to fit —
+        upscaled noise has statistics unlike any training input."""
+        root = _write_parquet_dataset(tmp_path)
+        ds = ImageDataset(
+            "coll", base_image_dir=str(root), resolution=128,
+            center_crop=False, base_url="dummy://",
+        )
+        for idx in range(3):
+            row = ds.data.iloc[idx]
+            w, h = center_crop_arr_simulator(
+                (int(row["width"]), int(row["height"])), 128, 2.0
+            )
+            img, ok = ds._dummy_client(
+                row["media_path"],
+                (int(row["width"]), int(row["height"])),
+            )
+            assert ok and img.size == (w, h)  # native, pre-crop
+            item = ds[idx]
+            assert item["image"].shape == (h, w, 3)
+            # identity crop preserved the raw noise: adjacent-pixel
+            # correlation stays near zero (upscaled noise would be
+            # strongly correlated)
+            g = item["image"].mean(axis=2)
+            a, b = g[:, :-1].ravel(), g[:, 1:].ravel()
+            corr = np.corrcoef(a, b)[0, 1]
+            assert abs(corr) < 0.1, corr
+
     def test_buckets_group_by_shape(self, tmp_path):
         root = _write_parquet_dataset(tmp_path)
         ds = ImageDataset(
