@@ -254,7 +254,12 @@ class FLitePipeline:
             vae.config.spatial_scale if vae is not None else 8
         )
         self.return_index = -8  # hidden-state index (`pipeline.py:83`)
-        self._denoise_cache: dict[Any, Any] = {}
+        from f_lite_tpu.utils.cache import LRUCache
+
+        # LRU-bounded: a long-lived server cycling through many distinct
+        # (settings, steps_per_dispatch) keys must not accumulate compiled
+        # executables forever; 32 variants ≫ any sane serving config set
+        self._denoise_cache = LRUCache(maxsize=32)
         # "auto" = direct decode, switching to tiled past 1024px output
         # (a full 2048px decode wants 16.5 GB of decoder activations —
         # measured HBM OOM on a 16 GB v5e). Calling a memory-mode setter
@@ -751,7 +756,7 @@ class FLitePipeline:
                 self.dit_model.apply, settings, donate=True,
                 steps_per_dispatch=steps_per_dispatch,
             )
-            self._denoise_cache[key] = fn
+            self._denoise_cache.put(key, fn)
 
         # CFG context-mask layout is [neg_mask, pos_mask]: an asymmetric
         # negative prompt keeps its own key mask. (The reference's HF-side

@@ -509,6 +509,9 @@ class ServerMetrics:
         self.batch_rows = 0
         self.dispatch_count = 0
         self._latency = collections.deque(maxlen=1000)
+        # wired to the pipeline's LRU-bounded denoise cache by run_http so
+        # operators can watch compiled-variant growth/evictions
+        self.compiled_cache = None
 
     def record_request(self, endpoint: str, status: int):
         with self._lock:
@@ -550,6 +553,14 @@ class ServerMetrics:
                 f"f_lite_batch_rows_avg "
                 f"{self.batch_rows / max(self.dispatch_count, 1):.3f}",
             ]
+            if self.compiled_cache is not None:
+                lines += [
+                    "# TYPE f_lite_compiled_variants gauge",
+                    f"f_lite_compiled_variants {len(self.compiled_cache)}",
+                    "# TYPE f_lite_compiled_evictions_total counter",
+                    "f_lite_compiled_evictions_total "
+                    f"{self.compiled_cache.evictions}",
+                ]
             lat = sorted(self._latency)
             if lat:
                 p50 = lat[len(lat) // 2]
@@ -758,6 +769,7 @@ def make_http_server(pipe, args, host="127.0.0.1", port=0, batcher=None):
     if batcher is None and args.dp > 1:
         batcher = RequestBatcher.from_args(pipe, args)
     metrics = ServerMetrics()
+    metrics.compiled_cache = pipe._denoise_cache
     if batcher is not None:
         batcher.metrics = metrics
     device_lock = threading.Lock()

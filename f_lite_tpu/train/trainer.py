@@ -415,7 +415,9 @@ DEFAULT_SAMPLE_PROMPTS = [
 ]
 
 
-_SAMPLE_DENOISE_CACHE: dict = {}
+from f_lite_tpu.utils.cache import LRUCache
+
+_SAMPLE_DENOISE_CACHE = LRUCache(maxsize=8)
 
 
 def sample_images(
@@ -453,7 +455,7 @@ def sample_images(
     fn = _SAMPLE_DENOISE_CACHE.get(key)
     if fn is None:
         fn = make_denoise_fn(model.apply, settings, donate=False)
-        _SAMPLE_DENOISE_CACHE[key] = fn
+        _SAMPLE_DENOISE_CACHE.put(key, fn)
     pos = jnp.asarray(embeds, dtype)
     final = fn(params, latents, pos, jnp.zeros_like(pos), jnp.asarray(mask))
     z = denormalize_latents(final.astype(jnp.float32), vae.config)

@@ -113,6 +113,25 @@ class TestPipeline:
         )
         assert len(out.images) == 1
 
+    def test_denoise_cache_is_lru_bounded(self, pipe):
+        """Cycling more distinct settings than the cache cap must evict,
+        not grow without bound (a long-lived server fed many step-count/
+        guidance combos), and an evicted key must still work on recall."""
+        cache = pipe._denoise_cache
+        old_max, old_evictions = cache.maxsize, cache.evictions
+        cache.maxsize = 2
+        try:
+            kw = dict(height=16, width=16, output_type="latent")
+            for steps in (2, 3, 4):
+                pipe(prompt="x", num_inference_steps=steps, seed=0, **kw)
+            assert len(cache) <= 2
+            assert cache.evictions > old_evictions
+            # evicted earliest key recompiles and still produces output
+            out = pipe(prompt="x", num_inference_steps=2, seed=0, **kw)
+            assert np.isfinite(np.asarray(out.images)).all()
+        finally:
+            cache.maxsize = old_max
+
     def test_return_latents(self, pipe):
         out = pipe(prompt="q", height=16, width=16, num_inference_steps=1,
                    seed=0, return_latents=True)

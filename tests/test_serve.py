@@ -471,6 +471,11 @@ class TestHTTP:
         ) as resp:
             body = resp.read().decode()
         assert 'status="400"' in body
+        # the compiled-executable cache is observable and LRU-bounded
+        line = next(l for l in body.splitlines()
+                    if l.startswith("f_lite_compiled_variants "))
+        assert 1 <= int(line.split()[1]) <= 32
+        assert "f_lite_compiled_evictions_total" in body
 
     def test_unknown_paths_404(self, server):
         import urllib.error
