@@ -396,6 +396,22 @@ class MetricsLogger:
         if self.wandb is not None:
             self.wandb.log(scalars, step=step)
 
+    def log_histogram(self, tag, bin_counts, step):
+        """Timestep-decile occupancy histogram (`train.py:1040-1057`): the
+        reference materializes [bin_idx]*count raw samples and logs a
+        wandb.Histogram; same raw-data construction here so the rendered
+        distribution is identical."""
+        counts = [int(c) for c in bin_counts]
+        if not any(counts):
+            return
+        raw = [i for i, c in enumerate(counts) for _ in range(c)]
+        if self.tb is not None:
+            self.tb.add_histogram(tag, np.asarray(raw), step, bins=10)
+        if self.wandb is not None:
+            self.wandb.log(
+                {tag: self.wandb.Histogram(raw)}, step=step
+            )
+
     def log_image(self, tag, pil_image, step):
         if self.tb is not None:
             self.tb.add_image(
@@ -982,6 +998,9 @@ def train(args) -> dict:
                     if bc[i] > 0:
                         logs[f"metrics/avg_loss_bin_{i}"] = bs[i] / bc[i]
                 metrics_logger.log(logs, global_step)
+                metrics_logger.log_histogram(
+                    "metrics/diffusion_loss_bin_counts", bc, global_step
+                )
                 logger.info(
                     "step %d loss %.4f lr %.2e grad %.3f",
                     global_step, logs["train/loss"], logs["train/lr"],
