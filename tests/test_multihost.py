@@ -22,6 +22,10 @@ from pathlib import Path
 import numpy as np
 import pytest
 
+# compile-heavy (virtual-mesh XLA compiles / live servers): run in the
+# full tier only; `pytest -m "not slow"` is the fast development tier
+pytestmark = pytest.mark.slow
+
 REPO = Path(__file__).resolve().parent.parent
 
 

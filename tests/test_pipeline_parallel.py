@@ -25,6 +25,10 @@ from f_lite_tpu.parallel import (
 )
 from f_lite_tpu.parallel.mesh import mesh_rules
 
+# compile-heavy (virtual-mesh XLA compiles / live servers): run in the
+# full tier only; `pytest -m "not slow"` is the fast development tier
+pytestmark = pytest.mark.slow
+
 V2_CFG = DiTConfig(
     in_channels=16, patch_size=2, hidden_size=64, depth=4, num_heads=4,
     mlp_ratio=2.0, cross_attn_input_size=32, cross_attn_all=True,

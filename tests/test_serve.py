@@ -12,6 +12,10 @@ from f_lite_tpu.models.vae import AutoencoderKL, VAEConfig
 from f_lite_tpu.pipeline import FLitePipeline
 from f_lite_tpu.text.encoder import ZeroTextEncoder
 
+# compile-heavy (virtual-mesh XLA compiles / live servers): run in the
+# full tier only; `pytest -m "not slow"` is the fast development tier
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def model_dir(tmp_path_factory):

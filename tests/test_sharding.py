@@ -19,6 +19,10 @@ from f_lite_tpu.parallel import (
 from f_lite_tpu.train.optim import build_optimizer
 from f_lite_tpu.train.step import init_train_state, make_train_step
 
+# compile-heavy (virtual-mesh XLA compiles / live servers): run in the
+# full tier only; `pytest -m "not slow"` is the fast development tier
+pytestmark = pytest.mark.slow
+
 CFG = DiTConfig(
     in_channels=16, patch_size=2, hidden_size=128, depth=2, num_heads=4,
     mlp_ratio=2.0, cross_attn_input_size=64, use_pallas_attention=False,
