@@ -30,7 +30,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "defaults, and any flag you pass explicitly "
                         "overrides it")
     p.add_argument("--model", type=str, default="Freepik/F-Lite",
-                   help="path to a converted checkpoint directory")
+                   help="converted checkpoint dir, a diffusers-layout "
+                        "snapshot dir (converted on first use), or an HF "
+                        "hub repo id like the default")
     p.add_argument("--negative_prompt", type=str, default=None)
     p.add_argument("--guidance_scale", type=float, default=6.0)
     p.add_argument("--num_inference_steps", type=int, default=30)

@@ -362,8 +362,17 @@ class FLitePipeline:
         weights at load —
         the reference's `pt.py:108-136` inference-LoRA path. Rank is read
         from the factor shapes; `lora_alpha` defaults to the rank (the
-        reference's `lora_alpha=lora_rank`)."""
-        path = Path(path)
+        reference's `lora_alpha=lora_rank`).
+
+        `path` accepts, like the reference pipeline (`generate.py:61-66`,
+        `comfyui.py:45-60`), any of: a converted native dir, a
+        diffusers-layout snapshot dir (converted on first use and cached
+        — convert/ingest.py), or an HF hub repo id such as
+        "Freepik/F-Lite" (`snapshot_download` when the hub is
+        reachable)."""
+        from f_lite_tpu.convert.ingest import resolve_pretrained
+
+        path = resolve_pretrained(path)
         index = json.loads((path / "model_index.json").read_text())
 
         dit_cfg_d = json.loads((path / "dit" / "config.json").read_text())

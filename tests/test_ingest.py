@@ -1,0 +1,204 @@
+"""Direct diffusers-layout / hub-id loading (convert/ingest.py).
+
+The reference loads released checkpoints with zero preprocessing
+(`/root/reference/f_lite/generate.py:61-66` diffusers injection,
+`comfyui.py:45-60` snapshot_download). These tests prove the TPU
+pipeline's `from_pretrained` accepts the same inputs: a diffusers-layout
+snapshot dir (converted on the fly + cached) and an HF repo id (resolved
+via snapshot_download — monkeypatched here, the test env has no egress).
+
+The synthetic diffusers dir is produced by this repo's own exporter
+(--export_torch), which TestExportCLI already proves emits the
+reference's exact layout and key set.
+"""
+
+import json
+import shutil
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+import torch
+
+sys.path.insert(0, "tools")
+
+from f_lite_tpu.convert import ingest
+from f_lite_tpu.models.dit import DiTConfig
+
+CFG = dict(
+    in_channels=16, patch_size=2, hidden_size=64, depth=3, num_heads=4,
+    mlp_ratio=2.0, cross_attn_input_size=48, residual_v=True,
+    use_pallas_attention=False,
+)
+
+
+@pytest.fixture(scope="module")
+def golden_hf_dir(tmp_path_factory):
+    """A tiny reference-layout (diffusers) snapshot dir."""
+    from convert_checkpoint import main as convert_main
+    from torch_oracle import make_random_state_dict
+
+    tmp = tmp_path_factory.mktemp("golden")
+    sd = {
+        k: v.numpy() if isinstance(v, torch.Tensor) else v
+        for k, v in make_random_state_dict(DiTConfig(**CFG), seed=5).items()
+    }
+    torch.save({k: torch.from_numpy(v) for k, v in sd.items()},
+               tmp / "model.pt")
+    native = convert_main([
+        "--pt", str(tmp / "model.pt"), "--head_dim", "16",
+        "--output_dir", str(tmp / "native"),
+    ])
+    return convert_main([
+        "--export_torch", str(native),
+        "--output_dir", str(tmp / "hf_snapshot"),
+    ])
+
+
+@pytest.fixture
+def hf_dir(golden_hf_dir, tmp_path):
+    """A per-test mutable copy of the snapshot (cache-invalidation tests
+    touch weights and leave converted artifacts behind)."""
+    dst = tmp_path / "snapshot"
+    shutil.copytree(golden_hf_dir, dst)
+    return dst
+
+
+class TestDetection:
+    def test_detect_layout(self, hf_dir, tmp_path):
+        assert ingest.detect_layout(hf_dir) == "diffusers"
+        native = ingest.resolve_pretrained(hf_dir)
+        assert ingest.detect_layout(native) == "native"
+        empty = tmp_path / "empty"
+        empty.mkdir()
+        assert ingest.detect_layout(empty) is None
+        assert ingest.detect_layout(tmp_path / "missing") is None
+
+    def test_looks_like_repo_id(self, tmp_path):
+        assert ingest.looks_like_repo_id("Freepik/F-Lite")
+        assert ingest.looks_like_repo_id("Freepik/F-Lite-Texture")
+        assert not ingest.looks_like_repo_id("./rel/path")
+        assert not ingest.looks_like_repo_id("no-slash")
+        assert not ingest.looks_like_repo_id(str(tmp_path))  # exists
+        # absolute path that doesn't exist still isn't a repo id
+        assert not ingest.looks_like_repo_id("/nonexistent/dir")
+
+    def test_comfyui_choices_are_resolvable_ids(self):
+        """Every dropdown entry must route into the hub resolver — the
+        round-3 gap was MODEL_CHOICES nothing could load."""
+        from f_lite_tpu.comfyui import MODEL_CHOICES
+
+        for m in MODEL_CHOICES:
+            assert ingest.looks_like_repo_id(m), m
+            assert m in ingest.KNOWN_REPO_IDS
+
+
+class TestDiffusersDirLoading:
+    def test_from_pretrained_diffusers_dir(self, hf_dir):
+        """End-to-end: snapshot dir -> pipeline -> latents, with no prior
+        tools/convert_checkpoint.py invocation."""
+        import jax.numpy as jnp
+
+        from f_lite_tpu.pipeline import FLitePipeline
+        from f_lite_tpu.text.encoder import ZeroTextEncoder
+
+        pipe = FLitePipeline.from_pretrained(
+            hf_dir, dtype=jnp.float32, load_text_encoder=False
+        )
+        pipe.text_encoder = ZeroTextEncoder(embed_dim=48, seq_len=8)
+        out = pipe(prompt="a cat", height=64, width=64,
+                   num_inference_steps=2, seed=0, return_latents=True,
+                   output_type="np")
+        lat = np.asarray(out.images)
+        assert lat.shape == (1, 8, 8, 16)  # 64/8 latent grid, 16 ch
+        assert np.isfinite(lat).all()
+        # converted artifact cached next to the snapshot
+        cache = hf_dir / "f_lite_tpu_converted"
+        assert (cache / "dit" / "flax_params.safetensors").exists()
+        assert (cache / "source_fingerprint.json").exists()
+
+    def test_cache_reuse(self, hf_dir):
+        first = ingest.resolve_pretrained(hf_dir)
+        stamp = (first / "dit" / "flax_params.safetensors").stat().st_mtime_ns
+        second = ingest.resolve_pretrained(hf_dir)
+        assert second == first
+        assert (
+            second / "dit" / "flax_params.safetensors"
+        ).stat().st_mtime_ns == stamp
+
+    def test_cache_invalidation_on_source_change(self, hf_dir):
+        import os
+
+        first = ingest.resolve_pretrained(hf_dir)
+        stamp = (first / "dit" / "flax_params.safetensors").stat().st_mtime_ns
+        w = hf_dir / "dit_model" / "diffusion_pytorch_model.safetensors"
+        st = w.stat()
+        os.utime(w, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000_000))
+        second = ingest.resolve_pretrained(hf_dir)
+        assert second == first
+        assert (
+            second / "dit" / "flax_params.safetensors"
+        ).stat().st_mtime_ns != stamp
+
+    def test_native_dir_passthrough(self, hf_dir):
+        native = ingest.resolve_pretrained(hf_dir)
+        assert ingest.resolve_pretrained(native) == native
+
+    def test_readonly_snapshot_falls_back_to_user_cache(
+        self, hf_dir, tmp_path, monkeypatch
+    ):
+        """Hub snapshots can live in a read-only mount; the converted
+        artifact must land in the (configurable) user cache then."""
+        cache_root = tmp_path / "usercache"
+        monkeypatch.setenv("F_LITE_TPU_CACHE", str(cache_root))
+        # the test runs as root, for whom os.access(W_OK) is always true
+        monkeypatch.setattr(ingest.os, "access", lambda *a, **k: False)
+        out = ingest.resolve_pretrained(hf_dir)
+        assert cache_root in out.parents
+        assert ingest.detect_layout(out) == "native"
+
+    def test_unrecognizable_dir_raises(self, tmp_path):
+        bogus = tmp_path / "bogus"
+        bogus.mkdir()
+        (bogus / "README.md").write_text("not a checkpoint")
+        with pytest.raises(FileNotFoundError, match="neither"):
+            ingest.resolve_pretrained(bogus)
+
+    def test_missing_path_raises(self):
+        with pytest.raises(FileNotFoundError, match="repo id"):
+            ingest.resolve_pretrained("/nonexistent/checkpoint/dir")
+
+
+class TestHubRepoId:
+    def test_repo_id_resolves_via_snapshot_download(
+        self, hf_dir, monkeypatch
+    ):
+        """`from_pretrained("Freepik/F-Lite")` — the reference's default
+        `--model` — routes through snapshot_download (patched: no egress
+        here) and then the on-the-fly conversion."""
+        import huggingface_hub
+
+        calls = []
+
+        def fake_download(repo_id, **kw):
+            calls.append(repo_id)
+            return str(hf_dir)
+
+        monkeypatch.setattr(huggingface_hub, "snapshot_download",
+                            fake_download)
+        out = ingest.resolve_pretrained("Freepik/F-Lite")
+        assert calls == ["Freepik/F-Lite"]
+        assert ingest.detect_layout(out) == "native"
+        cfg = json.loads((out / "dit" / "config.json").read_text())
+        assert cfg["hidden_size"] == 64
+
+    def test_download_failure_message(self, monkeypatch):
+        import huggingface_hub
+
+        def fail(repo_id, **kw):
+            raise ConnectionError("no egress")
+
+        monkeypatch.setattr(huggingface_hub, "snapshot_download", fail)
+        with pytest.raises(FileNotFoundError, match="egress"):
+            ingest.resolve_pretrained("Freepik/F-Lite")

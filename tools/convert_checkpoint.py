@@ -81,106 +81,26 @@ def parse_args(argv=None):
 
 
 def _merge_sharded_safetensors(d: Path, prefix="diffusion_pytorch_model"):
-    """Load possibly-sharded safetensors from a diffusers dir."""
-    from safetensors.numpy import load_file
+    """Moved to f_lite_tpu.convert.ingest (shared with the pipeline's
+    direct diffusers-layout loading); kept as an alias for callers."""
+    from f_lite_tpu.convert.ingest import merge_sharded_safetensors
 
-    idx = d / f"{prefix}.safetensors.index.json"
-    if idx.exists():
-        index = json.loads(idx.read_text())
-        files = sorted(set(index["weight_map"].values()))
-        sd = {}
-        for f in files:
-            sd.update(load_file(str(d / f)))
-        return sd
-    single = d / f"{prefix}.safetensors"
-    if single.exists():
-        return dict(load_file(str(single)))
-    cands = sorted(d.glob("*.safetensors"))
-    if cands:
-        sd = {}
-        for f in cands:
-            sd.update(load_file(str(f)))
-        return sd
-    # legacy .bin
-    bins = sorted(d.glob("*.bin")) + sorted(d.glob("*.pt"))
-    if bins:
-        from f_lite_tpu.convert import load_torch_state_dict
-
-        sd = {}
-        for f in bins:
-            sd.update(load_torch_state_dict(f))
-        return sd
-    raise FileNotFoundError(f"no weights found in {d}")
+    return merge_sharded_safetensors(d, prefix)
 
 
 def _dit_config_from_sd(sd, args, hf_config=None):
-    from f_lite_tpu.convert.torch_to_jax import infer_depth
-    from f_lite_tpu.models.dit import DiTConfig
+    """Moved to f_lite_tpu.convert.ingest; this wrapper adapts the
+    argparse namespace to the kwargs core."""
+    from f_lite_tpu.convert.ingest import dit_config_from_state_dict
 
-    if hf_config:
-        width = hf_config.get("hidden_size", args.width)
-        heads = hf_config.get("num_heads", width // args.head_dim)
-        kw = dict(
-            in_channels=hf_config.get("in_channels", 16),
-            patch_size=hf_config.get("patch_size", 2),
-            hidden_size=width,
-            depth=hf_config.get("depth", infer_depth(sd)),
-            num_heads=heads,
-            # fallback: the MLP width is directly visible in the state
-            # dict — a hardcoded 4.0 would disagree with the weights and
-            # fail apply() with a SwiGLU shape error
-            mlp_ratio=hf_config.get("mlp_ratio") or (
-                sd["blocks.0.mlp.gate_proj.weight"].shape[0] / width
-                if "blocks.0.mlp.gate_proj.weight" in sd else 4.0
-            ),
-            cross_attn_input_size=hf_config.get(
-                "cross_attn_input_size", args.cross_attn_input_size
-            ),
-            train_bias_and_rms=hf_config.get("train_bias_and_rms", False),
-            use_rope=hf_config.get("use_rope", True),
-            rope_base=hf_config.get("rope_base", 10000),
-            dynamic_softmax_temperature=hf_config.get(
-                "dynamic_softmax_temperature", False
-            ),
-            residual_v=hf_config.get("residual_v", args.residual_v),
-            # non-v1 fields (emitted by export_torch only when non-
-            # default) — without these a re-ingested v2-style export
-            # would be silently rebuilt as v1
-            adaln_mode=hf_config.get("adaln_mode", "shared"),
-            cross_attn_all=hf_config.get("cross_attn_all", False),
-            cross_attn_first_n=hf_config.get("cross_attn_first_n", 8),
-            cross_attn_period=hf_config.get("cross_attn_period", 4),
-        )
-        return DiTConfig(**kw)
-    width = sd["context_proj.weight"].shape[0]
-    return DiTConfig(
-        in_channels=sd["patch_embed.patch_proj.weight"].shape[1],
-        patch_size=sd["patch_embed.patch_proj.weight"].shape[-1],
-        hidden_size=width,
-        depth=infer_depth(sd),
-        num_heads=width // args.head_dim,
-        # the MLP width is directly visible in the state dict; the flag is
-        # only a fallback for exotic layouts
-        mlp_ratio=(
-            sd["blocks.0.mlp.gate_proj.weight"].shape[0] / width
-            if "blocks.0.mlp.gate_proj.weight" in sd else args.mlp_ratio
-        ),
-        cross_attn_input_size=sd["context_proj.weight"].shape[1],
-        train_bias_and_rms="final_norm.weight" in sd,
-        residual_v=args.residual_v
-        or any(".lambda_v" in k for k in sd),
-        # v2-style architectures are visible in the key set: per-block
-        # adaLN heads instead of one shared head, and a cross-attn tower
-        # in a block the v1 pattern (idx%4==0 or idx<8) would skip
-        adaln_mode=(
-            "per_block" if "blocks.0.adaLN_modulation.1.weight" in sd
-            and "adaLN_modulation.1.weight" not in sd else "shared"
-        ),
-        cross_attn_all=any(
-            f"blocks.{i}.cross_attn.q.weight" in sd
-            for i in range(8, infer_depth(sd))
-            if i % 4 != 0
-        ),
+    return dit_config_from_state_dict(
+        sd, hf_config,
+        width=args.width, head_dim=args.head_dim,
+        patch_size=getattr(args, "patch_size", 2),
+        mlp_ratio=args.mlp_ratio,
+        cross_attn_input_size=args.cross_attn_input_size,
+        residual_v=args.residual_v,
+        train_bias_and_rms=getattr(args, "train_bias_and_rms", False),
     )
 
 
@@ -327,110 +247,23 @@ def main(argv=None):
     if args.export_lora:
         return export_lora(args)
 
-    import numpy as np
+    from f_lite_tpu.convert.ingest import convert_reference_checkpoint
 
-    from f_lite_tpu.convert import (
-        convert_dit_state_dict,
-        convert_vae_state_dict,
-        load_torch_state_dict,
+    out = convert_reference_checkpoint(
+        args.output_dir,
+        pt=args.pt,
+        hf_dir=args.hf_dir,
+        vae_dir=args.vae_dir,
+        text_encoder_dir=args.text_encoder_dir,
+        tokenizer_dir=args.tokenizer_dir,
+        width=args.width,
+        head_dim=args.head_dim,
+        patch_size=args.patch_size,
+        mlp_ratio=args.mlp_ratio,
+        cross_attn_input_size=args.cross_attn_input_size,
+        residual_v=args.residual_v,
+        train_bias_and_rms=args.train_bias_and_rms,
     )
-    from f_lite_tpu.convert.torch_to_jax import strip_prefixes
-    from f_lite_tpu.models.vae import VAEConfig
-    from f_lite_tpu.pipeline import save_params_safetensors
-
-    out = Path(args.output_dir)
-    (out / "dit").mkdir(parents=True, exist_ok=True)
-
-    vae_src = args.vae_dir and Path(args.vae_dir)
-    te_src = args.text_encoder_dir and Path(args.text_encoder_dir)
-    tok_src = args.tokenizer_dir and Path(args.tokenizer_dir)
-    hf_dit_config = None
-
-    if args.pt:
-        sd = strip_prefixes(load_torch_state_dict(args.pt))
-    else:
-        hf = Path(args.hf_dir)
-        dit_dir = next(
-            (hf / n for n in ("dit_model", "transformer", "dit")
-             if (hf / n).exists()),
-            None,
-        )
-        if dit_dir is None:
-            raise FileNotFoundError(f"no dit_model/ under {hf}")
-        sd = strip_prefixes(_merge_sharded_safetensors(dit_dir))
-        cfg_file = dit_dir / "config.json"
-        if cfg_file.exists():
-            hf_dit_config = json.loads(cfg_file.read_text())
-        vae_src = vae_src or (
-            (hf / "vae") if (hf / "vae").exists() else None
-        )
-        te_src = te_src or (
-            (hf / "text_encoder") if (hf / "text_encoder").exists() else None
-        )
-        tok_src = tok_src or (
-            (hf / "tokenizer") if (hf / "tokenizer").exists() else None
-        )
-
-    sd = {k: np.asarray(v, np.float32) for k, v in sd.items()}
-    dit_cfg = _dit_config_from_sd(sd, args, hf_dit_config)
-    logger.info(
-        "DiT: width=%d depth=%d heads=%d cross=%d residual_v=%s",
-        dit_cfg.hidden_size, dit_cfg.depth, dit_cfg.num_heads,
-        dit_cfg.cross_attn_input_size, dit_cfg.residual_v,
-    )
-    params = convert_dit_state_dict(sd, dit_cfg)
-
-    cfg_d = dataclasses.asdict(dit_cfg)
-    for k in ("dtype", "param_dtype"):
-        cfg_d.pop(k, None)
-    (out / "dit" / "config.json").write_text(json.dumps(cfg_d, indent=2))
-    save_params_safetensors(
-        params["params"], out / "dit" / "flax_params.safetensors"
-    )
-
-    index = {"_class_name": "FLitePipeline", "framework": "f-lite-tpu",
-             "return_index": -8}
-
-    if vae_src:
-        vcfg_d = json.loads((vae_src / "config.json").read_text())
-        vae_cfg = VAEConfig(
-            latent_channels=vcfg_d.get("latent_channels", 16),
-            block_out_channels=tuple(
-                vcfg_d.get("block_out_channels", (128, 256, 512, 512))
-            ),
-            layers_per_block=vcfg_d.get("layers_per_block", 2),
-            norm_num_groups=vcfg_d.get("norm_num_groups", 32),
-            scaling_factor=vcfg_d.get("scaling_factor", 0.3611),
-            shift_factor=vcfg_d.get("shift_factor", 0.1159),
-            mid_block_add_attention=vcfg_d.get(
-                "mid_block_add_attention", True
-            ),
-        )
-        vsd = _merge_sharded_safetensors(vae_src)
-        vsd = {k: np.asarray(v, np.float32) for k, v in vsd.items()}
-        vparams = convert_vae_state_dict(vsd, vae_cfg)
-        (out / "vae").mkdir(exist_ok=True)
-        vout = dataclasses.asdict(vae_cfg)
-        for k in ("dtype", "param_dtype"):
-            vout.pop(k, None)
-        vout["block_out_channels"] = list(vout["block_out_channels"])
-        (out / "vae" / "config.json").write_text(json.dumps(vout, indent=2))
-        save_params_safetensors(
-            vparams["params"], out / "vae" / "flax_params.safetensors"
-        )
-        logger.info("converted VAE from %s", vae_src)
-
-    if te_src:
-        shutil.copytree(te_src, out / "text_encoder", dirs_exist_ok=True)
-        index["text_encoder_type"] = (
-            "t5" if "t5" in json.loads(
-                (te_src / "config.json").read_text()
-            ).get("model_type", "t5") else "torch"
-        )
-        if tok_src:
-            shutil.copytree(tok_src, out / "tokenizer", dirs_exist_ok=True)
-
-    (out / "model_index.json").write_text(json.dumps(index, indent=2))
 
     if args.test_image:
         # smoke test like `f_lite_to_hf.py:100-120`
@@ -442,8 +275,9 @@ def main(argv=None):
         pipe = FLitePipeline.from_pretrained(
             out, dtype=jnp.bfloat16, load_text_encoder=False
         )
+        dit_cfg_d = json.loads((out / "dit" / "config.json").read_text())
         pipe.text_encoder = ZeroTextEncoder(
-            embed_dim=dit_cfg.cross_attn_input_size, seq_len=32
+            embed_dim=dit_cfg_d["cross_attn_input_size"], seq_len=32
         )
         o = pipe(prompt="a photo of a cat", height=256, width=256,
                  num_inference_steps=4, seed=1,
@@ -453,7 +287,6 @@ def main(argv=None):
             img.save(out / "test_image.png")
         logger.info("smoke test image generated")
 
-    logger.info("converted checkpoint written to %s", out)
     return out
 
 
