@@ -172,7 +172,13 @@ def main():
     neg = jnp.zeros_like(pos)
     mask = jnp.ones((batch, text_len), jnp.bool_)
 
-    settings = DenoiseSettings(num_inference_steps=steps, guidance_scale=6.0)
+    # F_LITE_BENCH_GI="lo,hi": limited-interval CFG serving preset —
+    # single forward outside the window (quality trade-off quantified in
+    # QUALITY_GI.json via tools/guidance_interval_audit.py)
+    gi_env = os.environ.get("F_LITE_BENCH_GI")
+    gi = (tuple(float(x) for x in gi_env.split(",")) if gi_env else None)
+    settings = DenoiseSettings(num_inference_steps=steps, guidance_scale=6.0,
+                               guidance_interval=gi)
     spd_env = os.environ.get("F_LITE_BENCH_DISPATCH_STEPS")
     # auto: bound dispatch wall time (the remote worker kills >~40 s
     # dispatches; batch 1 at 1024px stays single-dispatch)
@@ -226,6 +232,8 @@ def main():
     images_per_min = 60.0 * batch / p50
 
     mode = "int8-weight-only" if quantized else "bf16"
+    if gi:
+        mode += f"+gi{gi[0]:g}-{gi[1]:g}"
     record = {
         "metric": (
             f"F-Lite-{model_name.upper()} {height}px {steps}-step "

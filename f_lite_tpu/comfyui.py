@@ -8,6 +8,12 @@ hands ComfyUI a torch tensor at the boundary (ComfyUI's IMAGE format:
 
 Install: symlink/copy the repo into ComfyUI/custom_nodes and ensure
 f_lite_tpu is importable; ComfyUI discovers NODE_CLASS_MAPPINGS below.
+
+The model dropdown lists HF hub repo ids, which `from_pretrained`
+resolves directly (snapshot_download + on-the-fly conversion + cache —
+convert/ingest.py), matching the reference node's auto-download
+(`comfyui.py:45-60`). A local converted dir or diffusers snapshot dir
+path works too.
 """
 
 from __future__ import annotations

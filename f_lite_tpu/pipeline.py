@@ -15,10 +15,12 @@ TPU-native differences:
   sliced/tiled decode — weights are bf16-resident, which fits a v5e chip
   for both released model sizes.
 
-Checkpoint layout consumed by `from_pretrained` (produced by
-tools/convert_checkpoint.py from the reference's HF/pt formats):
+Checkpoint inputs accepted by `from_pretrained` (convert/ingest.py):
+an HF hub repo id ("Freepik/F-Lite"), a diffusers-layout snapshot dir
+(both converted on first use and cached), or the native layout
+(produced by tools/convert_checkpoint.py or by that cache):
   {root}/model_index.json
-  {root}/dit/config.json + flax_params.safetensors (or .msgpack)
+  {root}/dit/config.json + flax_params.safetensors
   {root}/vae/config.json + flax_params.safetensors
   {root}/text_encoder/... (HF T5 dir, optional)
 """

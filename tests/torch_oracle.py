@@ -183,13 +183,27 @@ def oracle_dit_forward(sd, cfg, x_nchw, context, mask, t):
 
 
 def make_random_state_dict(cfg, seed=0):
-    """Random torch state dict with the reference's exact key set/shapes."""
+    """Random torch state dict with the reference's exact key set/shapes.
+
+    Weight matrices are fan-in scaled (std = 0.5/sqrt(fan_in)) so hidden
+    activations stay O(1) at ANY width/depth — a fixed std would make
+    each matmul amplify by std*sqrt(fan_in), which at 1-2B-scale widths
+    (hidden 2048+) turns the depth-24 net chaotic and makes parity
+    numbers meaningless (any rounding difference explodes). At the small
+    widths the unit tests use (64-128) this matches the old fixed 0.05
+    closely, so tolerances carry over.
+    """
     g = torch.Generator().manual_seed(seed)
     D = cfg.hidden_size
     inter = int(D * cfg.mlp_ratio)
     bias = cfg.train_bias_and_rms
 
-    def r(*shape, scale=0.05):
+    def r(*shape, scale=None):
+        if scale is None:
+            fan_in = 1
+            for s in shape[1:]:
+                fan_in *= s
+            scale = 0.5 / fan_in ** 0.5 if fan_in > 1 else 0.05
         return torch.randn(*shape, generator=g) * scale
 
     sd = {
