@@ -62,6 +62,25 @@ def _env_block_cap(name: str) -> int:
     return max(512, cap // 128 * 128)
 
 
+def _env_block(name: str, floor: int) -> int:
+    """Exact block-size env override for in-program sweeps (PERF.md
+    round 4): 0/unset = keep the shape-adaptive default; otherwise the
+    value, 128-aligned down and floored at the kernel's minimum legal
+    block. Unlike the _cap knobs this SETS the block rather than
+    bounding the auto choice — the Mosaic-safety clamps downstream
+    still apply."""
+    raw = os.environ.get(name, "0")
+    try:
+        v = int(raw)
+    except ValueError:
+        raise ValueError(
+            f"{name}={raw!r} is not an integer (expected e.g. 256)"
+        ) from None
+    if v <= 0:
+        return 0
+    return max(floor, v // 128 * 128)
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -605,6 +624,10 @@ def flash_attention(
         kv_lens = kv_mask.astype(jnp.int32).sum(axis=-1)
     b, h, lq, _ = q.shape
     lk = k.shape[2]
+    if block_q is None and (env_bq := _env_block("F_LITE_FLASH_BQ", 512)):
+        block_q = env_bq
+    if block_k is None and (env_bk := _env_block("F_LITE_FLASH_BK", 128)):
+        block_k = env_bk
     if block_q is None:
         # effective kernel rows after the ragged-tail split below
         _tail = lq % 4096

@@ -769,7 +769,9 @@ def make_http_server(pipe, args, host="127.0.0.1", port=0, batcher=None):
     if batcher is None and args.dp > 1:
         batcher = RequestBatcher.from_args(pipe, args)
     metrics = ServerMetrics()
-    metrics.compiled_cache = pipe._denoise_cache
+    # getattr: tests drive the server with duck-typed pipe stubs that
+    # have no compiled-fn cache; /metrics then just omits the gauges
+    metrics.compiled_cache = getattr(pipe, "_denoise_cache", None)
     if batcher is not None:
         batcher.metrics = metrics
     device_lock = threading.Lock()
