@@ -176,7 +176,19 @@ def main():
     # single forward outside the window (quality trade-off quantified in
     # QUALITY_GI.json via tools/guidance_interval_audit.py)
     gi_env = os.environ.get("F_LITE_BENCH_GI")
-    gi = (tuple(float(x) for x in gi_env.split(",")) if gi_env else None)
+    gi = None
+    if gi_env:
+        try:  # accept "lo,hi" or the audit tool's "lo:hi"
+            gi = tuple(
+                float(x) for x in gi_env.replace(":", ",").split(",")
+            )
+        except ValueError:
+            gi = ()
+        if len(gi) != 2 or not 0.0 <= gi[0] < gi[1] <= 1.0:
+            raise SystemExit(
+                f"F_LITE_BENCH_GI={gi_env!r}: expected 'lo,hi' with "
+                "0 <= lo < hi <= 1 (e.g. F_LITE_BENCH_GI=0.1,0.9)"
+            )
     settings = DenoiseSettings(num_inference_steps=steps, guidance_scale=6.0,
                                guidance_interval=gi)
     spd_env = os.environ.get("F_LITE_BENCH_DISPATCH_STEPS")

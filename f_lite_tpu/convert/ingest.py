@@ -32,6 +32,7 @@ import logging
 import os
 import re
 import shutil
+import uuid
 from pathlib import Path
 
 logger = logging.getLogger(__name__)
@@ -152,7 +153,7 @@ def dit_config_from_state_dict(
         heads = hf_config.get("num_heads", w // head_dim)
         kw = dict(
             in_channels=hf_config.get("in_channels", 16),
-            patch_size=hf_config.get("patch_size", 2),
+            patch_size=hf_config.get("patch_size", patch_size),
             hidden_size=w,
             depth=hf_config.get("depth", infer_depth(sd)),
             num_heads=heads,
@@ -355,12 +356,15 @@ _FINGERPRINT_FILE = "source_fingerprint.json"
 
 
 def _source_fingerprint(hf_dir: Path) -> dict:
-    """(relpath -> [size, mtime_ns]) over every weight/config file that
-    feeds the conversion — a snapshot update invalidates the cache."""
+    """(relpath -> [size, mtime_ns]) over every weight/config/tokenizer
+    file that feeds the conversion (including the text_encoder/ and
+    tokenizer/ dirs it copies through) — a snapshot update invalidates
+    the cache."""
     fp = {}
-    for pat in ("*.safetensors", "*.bin", "*.pt", "config.json",
-                "*.safetensors.index.json"):
-        for sub in (".",) + _DIT_SUBDIRS + ("vae",):
+    for pat in ("*.safetensors", "*.bin", "*.pt", "*.json", "*.model",
+                "*.txt"):
+        for sub in ((".",) + _DIT_SUBDIRS
+                    + ("vae", "text_encoder", "tokenizer")):
             d = hf_dir / sub
             if not d.is_dir():
                 continue
@@ -387,30 +391,61 @@ def _cache_dir_for(hf_dir: Path) -> Path:
     return _default_cache_root() / f"{hf_dir.name}-{digest}"
 
 
+def _cache_valid(cache: Path, fp: dict) -> bool:
+    fp_file = cache / _FINGERPRINT_FILE
+    if detect_layout(cache) != "native" or not fp_file.exists():
+        return False
+    try:
+        return json.loads(fp_file.read_text()) == fp
+    except (json.JSONDecodeError, OSError):
+        return False
+
+
 def _convert_with_cache(hf_dir: Path) -> Path:
     cache = _cache_dir_for(hf_dir)
     fp = _source_fingerprint(hf_dir)
-    fp_file = cache / _FINGERPRINT_FILE
-    if detect_layout(cache) == "native" and fp_file.exists():
-        try:
-            if json.loads(fp_file.read_text()) == fp:
-                logger.info("using cached conversion at %s", cache)
+    if _cache_valid(cache, fp):
+        logger.info("using cached conversion at %s", cache)
+        return cache
+    # Convert into a UNIQUE temp sibling then rename into place: a
+    # crashed conversion must not leave a half-written dir that
+    # detect_layout classifies native, and concurrent first-use loaders
+    # (array jobs sharing a snapshot) must not delete each other's
+    # in-progress work — each process owns its own tmp, and a stale
+    # cache is moved aside atomically (readers holding open fds keep
+    # them) rather than rmtree'd in place under other readers.
+    tmp = cache.with_name(f"{cache.name}.tmp-{uuid.uuid4().hex[:8]}")
+    try:
+        convert_reference_checkpoint(tmp, hf_dir=hf_dir)
+        (tmp / _FINGERPRINT_FILE).write_text(json.dumps(fp, indent=2))
+        for _ in range(8):  # bounded: alternating racers are pathological
+            try:
+                tmp.rename(cache)
+                logger.info("conversion cached at %s", cache)
                 return cache
-        except (json.JSONDecodeError, OSError):
-            pass
-        logger.info("snapshot changed; reconverting %s", hf_dir)
-    # convert into a temp sibling then rename: a crashed conversion must
-    # not leave a half-written dir that detect_layout classifies native
-    tmp = cache.with_name(cache.name + ".tmp")
-    if tmp.exists():
-        shutil.rmtree(tmp)
-    convert_reference_checkpoint(tmp, hf_dir=hf_dir)
-    (tmp / _FINGERPRINT_FILE).write_text(json.dumps(fp, indent=2))
-    if cache.exists():
-        shutil.rmtree(cache)
-    tmp.rename(cache)
-    logger.info("conversion cached at %s", cache)
-    return cache
+            except OSError:
+                pass
+            # target exists: a concurrent converter won the race
+            # (fingerprint matches — use theirs) or it is a stale
+            # conversion of an older snapshot (move aside, retry)
+            if _cache_valid(cache, fp):
+                shutil.rmtree(tmp, ignore_errors=True)
+                logger.info("using concurrently-built cache at %s", cache)
+                return cache
+            stale = cache.with_name(
+                f"{cache.name}.stale-{uuid.uuid4().hex[:8]}")
+            try:
+                cache.rename(stale)
+            except OSError:
+                continue  # raced again; revalidate and retry
+            shutil.rmtree(stale, ignore_errors=True)
+        raise OSError(
+            f"could not install converted checkpoint at {cache}: "
+            "persistent contention from concurrent converters"
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
 
 
 def _snapshot_download(repo_id: str) -> Path:

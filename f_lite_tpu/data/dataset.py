@@ -149,6 +149,11 @@ class ImageDataset:
         }.get(scheme)
         if self.client is None:
             raise ValueError(f"Invalid scheme: {scheme}")
+        # the dummy backend fabricates pixels at the row's declared
+        # bucket shape, so it alone takes (url, declared_wh); a flag
+        # bound at selection time keeps __getitem__'s dispatch uniform
+        # (robust to the client later being wrapped/overridden)
+        self._client_needs_declared_wh = scheme == "dummy"
         self._session = None
         self._s3 = None
         self.aspect_ratio_buckets: dict | None = None
@@ -343,10 +348,8 @@ class ImageDataset:
             int(sample.get("width", self.resolution)),
             int(sample.get("height", self.resolution)),
         )
-        if self.client == self._dummy_client:
-            img, ok = self._dummy_client(
-                sample[self.image_column], declared_wh
-            )
+        if self._client_needs_declared_wh:
+            img, ok = self.client(sample[self.image_column], declared_wh)
         else:
             img, ok = self.client(sample[self.image_column])
         _id = str(sample.get("source_id", idx))

@@ -624,11 +624,10 @@ def flash_attention(
         kv_lens = kv_mask.astype(jnp.int32).sum(axis=-1)
     b, h, lq, _ = q.shape
     lk = k.shape[2]
-    if block_q is None and (env_bq := _env_block("F_LITE_FLASH_BQ", 512)):
-        block_q = env_bq
     if block_k is None and (env_bk := _env_block("F_LITE_FLASH_BK", 128)):
         block_k = env_bk
     if block_q is None:
+        env_bq = _env_block("F_LITE_FLASH_BQ", 512)
         # effective kernel rows after the ragged-tail split below
         _tail = lq % 4096
         _eff_lq = (lq - _tail
@@ -638,7 +637,11 @@ def flash_attention(
         # and the (4096, 128) config lands ~256K over the 16MB scoped-vmem
         # limit (measured at 2048px serving, lq=16384)
         _auto_bk128 = False
-        if lq >= 4096 and b * h <= 32 and _round_up(_eff_lq, 128) <= 4096:
+        if env_bq:
+            # sweep override — still passes through the Mosaic-safety
+            # clamps below (the helper's documented contract)
+            block_q = env_bq
+        elif lq >= 4096 and b * h <= 32 and _round_up(_eff_lq, 128) <= 4096:
             if block_k is None:
                 # bk=128 is tuned FOR bq=4096; remembered so a later
                 # clamp of bq re-picks the default bk instead of running

@@ -80,14 +80,6 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def _merge_sharded_safetensors(d: Path, prefix="diffusion_pytorch_model"):
-    """Moved to f_lite_tpu.convert.ingest (shared with the pipeline's
-    direct diffusers-layout loading); kept as an alias for callers."""
-    from f_lite_tpu.convert.ingest import merge_sharded_safetensors
-
-    return merge_sharded_safetensors(d, prefix)
-
-
 def _dit_config_from_sd(sd, args, hf_config=None):
     """Moved to f_lite_tpu.convert.ingest; this wrapper adapts the
     argparse namespace to the kwargs core."""
