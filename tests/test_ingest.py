@@ -33,6 +33,15 @@ CFG = dict(
 )
 
 
+def _race_worker(hf_dir, q):
+    """Child of test_concurrent_first_use_converters_converge (module
+    level so multiprocessing 'spawn' can unpickle it)."""
+    from f_lite_tpu.convert import ingest as child_ingest
+
+    resolved = child_ingest.resolve_pretrained(hf_dir)
+    q.put((str(resolved), child_ingest.detect_layout(Path(resolved))))
+
+
 @pytest.fixture(scope="module")
 def golden_hf_dir(tmp_path_factory):
     """A tiny reference-layout (diffusers) snapshot dir."""
@@ -144,6 +153,36 @@ class TestDiffusersDirLoading:
     def test_native_dir_passthrough(self, hf_dir):
         native = ingest.resolve_pretrained(hf_dir)
         assert ingest.resolve_pretrained(native) == native
+
+    @pytest.mark.slow
+    def test_concurrent_first_use_converters_converge(self, hf_dir):
+        """Array jobs sharing one snapshot race to convert on first use;
+        every process must resolve the same valid cache and no tmp/stale
+        debris may survive (ingest installs via unique-tmp + atomic
+        rename, never rmtree under concurrent readers)."""
+        import multiprocessing as mp
+
+        ctx = mp.get_context("spawn")
+        q = ctx.Queue()
+        procs = [
+            ctx.Process(target=_race_worker, args=(str(hf_dir), q))
+            for _ in range(4)
+        ]
+        for p in procs:
+            p.start()
+        results = [q.get(timeout=300) for _ in procs]
+        for p in procs:
+            p.join()
+        paths = {r[0] for r in results}
+        assert len(paths) == 1 and {r[1] for r in results} == {"native"}, (
+            results
+        )
+        cache = Path(next(iter(paths)))
+        debris = [
+            d.name for d in cache.parent.iterdir()
+            if ".tmp-" in d.name or ".stale-" in d.name
+        ]
+        assert not debris, debris
 
     def test_readonly_snapshot_falls_back_to_user_cache(
         self, hf_dir, tmp_path, monkeypatch
