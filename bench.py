@@ -243,7 +243,7 @@ def main():
     p50 = sorted(times)[len(times) // 2]
     images_per_min = 60.0 * batch / p50
 
-    mode = "int8-weight-only" if quantized else "bf16"
+    mode = "int8-w8a8" if quantized else "bf16"
     if gi:
         mode += f"+gi{gi[0]:g}-{gi[1]:g}"
     record = {

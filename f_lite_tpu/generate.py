@@ -50,7 +50,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_text_encoder", action="store_true",
                    help="use the hermetic pseudo text encoder (debug)")
     p.add_argument("--quantize", action="store_true",
-                   help="int8 weight-only DiT projections (~1.7x matmuls)")
+                   help="int8 W8A8 DiT projections (dynamic act quant) (~1.7x matmuls)")
     p.add_argument("--lora_path", type=str, default=None,
                    help="LoRA checkpoint (dir or .safetensors) merged "
                         "into the DiT at load (`pt.py:108-136`)")

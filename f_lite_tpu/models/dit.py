@@ -121,7 +121,7 @@ def _constrain(x, *axes):
 
 
 class QuantDense(nn.Module):
-    """Int8 weight-only Dense (see f_lite_tpu/quant.py): per-column int8
+    """Int8 W8A8 Dense (see f_lite_tpu/quant.py): per-column int8
     weights + fp32 scales, dynamic per-token activation quant, int32 MXU
     accumulation — ~1.74x over bf16 on v5e. Params come from
     `quantize_dit_params`; the zero init here is a placeholder."""
@@ -308,7 +308,7 @@ class DiTConfig:
     # (pp-1)/(microbatches+pp-1).
     pipeline_stages: int = 1
     pipeline_microbatches: int = 1
-    quantized: bool = False  # int8 weight-only projections (inference)
+    quantized: bool = False  # int8 W8A8 projections (inference)
     gradient_checkpoint: bool = False
     gradient_checkpoint_from: int = 8  # remat blocks >= this (`model.py:559`)
     # what remat saves: "full" saves only block inputs (max recompute,

@@ -1,4 +1,5 @@
-"""Int8 weight-only quantization for inference.
+"""Int8 W8A8 quantization for inference (weights stored int8; activations
+quantized per token at runtime; int8xint8 -> int32 on the MXU).
 
 v5e's MXU runs int8 at 2x the bf16 rate (measured: 329 vs 189 TF/s on
 this chip — PERF.md). Scheme: symmetric per-output-channel int8 weights,

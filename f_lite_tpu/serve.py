@@ -115,7 +115,7 @@ def parse_args(argv=None):
     p.add_argument("--output_dir", type=str, default="outputs")
     p.add_argument("--no_text_encoder", action="store_true")
     p.add_argument("--quantize", action="store_true",
-                   help="int8 weight-only DiT projections (~1.7x matmuls)")
+                   help="int8 W8A8 DiT projections (dynamic act quant) (~1.7x matmuls)")
     p.add_argument("--lora_path", type=str, default=None,
                    help="serve a fine-tuned LoRA: trainer --use_lora dir/"
                         ".safetensors or a reference-format peft "

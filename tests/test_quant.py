@@ -1,4 +1,4 @@
-"""Int8 weight-only quantization: kernel math, param transform, model
+"""Int8 W8A8 quantization: kernel math, param transform, model
 accuracy, pipeline integration, scan-layers stacking."""
 
 import dataclasses

@@ -9,7 +9,7 @@ single dispatch ~= 4 x 14 s > 40 s), not a kernel bug at batch shapes.
 Probes (each prints a line; run stages via PROBE=a|b|c|d):
   a. Pallas flash attention alone at B=8 H=10 L=4112 D=256 (the batch-4
      CFG self-attention shape) — chained reps inside one jit.
-  b. int8 weight-only matmul at batch-4 token shapes.
+  b. int8 W8A8 matmul at batch-4 token shapes.
   c. batch-4 1024px 30-step denoise with steps_per_dispatch=5 (each
      dispatch ~10 s, under the watchdog).
   d. batch-4 single-dispatch 30-step denoise (expected to trip the

@@ -1,7 +1,7 @@
 """Serving-dtype quality audit: what 30 steps of bf16/int8 do to the
 latent trajectory and the decoded image (VERDICT r2 item 2).
 
-The shipping serving mode is int8 weight-only; round 2's only quality
+The shipping serving mode is int8 W8A8; round 2's only quality
 evidence was per-matmul (~0.8% relative error). This tool runs the SAME
 random weights and the SAME initial noise through the full 30-step
 1024px CFG denoise in multiple dtype modes on the real chip and records
