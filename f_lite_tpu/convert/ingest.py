@@ -222,6 +222,7 @@ def convert_reference_checkpoint(
     vae_dir: str | Path | None = None,
     text_encoder_dir: str | Path | None = None,
     tokenizer_dir: str | Path | None = None,
+    strict: str | None = None,
     **arch,
 ) -> Path:
     """Reference torch checkpoint (raw `.pt` or diffusers-layout dir) ->
@@ -230,6 +231,12 @@ def convert_reference_checkpoint(
     `arch` forwards architecture fallbacks (width/head_dim/...) to
     dit_config_from_state_dict; they only matter for raw `.pt` inputs
     whose shapes don't pin the value (reference `pt.py:24-33`).
+
+    `strict` (off|warn|error; default env F_LITE_STRICT_INGEST, else warn)
+    controls key coverage: unlike the reference's silent `strict=False`
+    load (`pt.py:98-101`), any source key the conversion didn't consume or
+    any config-implied key the source lacks produces a loud manifest diff
+    (convert/manifest.py) — warn logs it, error raises KeyCoverageError.
     """
     import numpy as np
 
@@ -283,7 +290,27 @@ def convert_reference_checkpoint(
         dit_cfg.hidden_size, dit_cfg.depth, dit_cfg.num_heads,
         dit_cfg.cross_attn_input_size, dit_cfg.residual_v,
     )
-    params = convert_dit_state_dict(sd, dit_cfg)
+    from f_lite_tpu.convert.manifest import (
+        KeyCoverageError,
+        check_coverage,
+        coverage_report,
+    )
+
+    consumed: set[str] = set()
+    src_name = str(pt or hf_dir)
+    try:
+        params = convert_dit_state_dict(sd, dit_cfg, consumed=consumed)
+    except KeyError as e:
+        # a missing required key would otherwise surface as a bare
+        # KeyError — re-raise with the full expected-vs-present diff so
+        # first contact with an unknown layout fails legibly
+        report = coverage_report(sd, consumed, dit_cfg)
+        raise KeyCoverageError(
+            f"conversion of {src_name} failed on missing key {e}; "
+            + report.render(src_name)
+        ) from e
+    check_coverage(sd, consumed, dit_cfg, mode=strict, source=src_name,
+                   logger=logger)
 
     cfg_d = dataclasses.asdict(dit_cfg)
     for k in ("dtype", "param_dtype"):
@@ -313,7 +340,23 @@ def convert_reference_checkpoint(
         )
         vsd = merge_sharded_safetensors(vae_src)
         vsd = {k: np.asarray(v, np.float32) for k, v in vsd.items()}
-        vparams = convert_vae_state_dict(vsd, vae_cfg)
+        v_consumed: set[str] = set()
+        vparams = convert_vae_state_dict(vsd, vae_cfg, consumed=v_consumed)
+        v_unconsumed = sorted(set(vsd) - v_consumed)
+        if v_unconsumed:
+            from f_lite_tpu.convert.manifest import (
+                KeyCoverageError,
+                strict_mode,
+            )
+
+            msg = (f"VAE conversion from {vae_src} dropped "
+                   f"{len(v_unconsumed)} source keys: "
+                   + ", ".join(v_unconsumed[:16])
+                   + (" ..." if len(v_unconsumed) > 16 else ""))
+            if strict_mode(strict) == "error":
+                raise KeyCoverageError(msg)
+            if strict_mode(strict) == "warn":
+                logger.warning("%s", msg)
         (out / "vae").mkdir(exist_ok=True)
         vout = dataclasses.asdict(vae_cfg)
         for k in ("dtype", "param_dtype"):

@@ -157,11 +157,38 @@ def pad_head_params(params: dict, head_dim: int, pad_to: int) -> dict:
     return rec(params)
 
 
+class _KeyRecorder(dict):
+    """Dict that records which keys a conversion actually reads.
+
+    Only `sd[k]` counts as consumption — `k in sd` probes (how the
+    converter detects optional params) must not mark a key consumed, or
+    coverage would report keys as read that were merely sniffed."""
+
+    def __init__(self, base):
+        super().__init__(base)
+        self.consumed: set[str] = set()
+
+    def __getitem__(self, k):
+        self.consumed.add(k)
+        return super().__getitem__(k)
+
+
 def convert_dit_state_dict(
-    sd: Mapping[str, np.ndarray], config: DiTConfig
+    sd: Mapping[str, np.ndarray],
+    config: DiTConfig,
+    *,
+    consumed: set[str] | None = None,
 ) -> dict:
-    """Torch DiT state dict -> flax params dict (matches models/dit.py)."""
+    """Torch DiT state dict -> flax params dict (matches models/dit.py).
+
+    `consumed`, if given, is filled with the (prefix-stripped) source keys
+    the conversion actually read — the key-coverage input for
+    convert/manifest.py (the loud replacement for the reference's silent
+    `strict=False` load, `pt.py:98-101`)."""
     sd = strip_prefixes(sd)
+    if consumed is not None:
+        sd = _KeyRecorder(sd)
+        sd.consumed = consumed  # record straight into the caller's set
     p: dict[str, Any] = {}
 
     p["context_proj"] = _dense(sd, "context_proj")
@@ -330,10 +357,20 @@ def _mid_attn(sd, base):
 
 
 def convert_vae_state_dict(
-    sd: Mapping[str, np.ndarray], config: VAEConfig
+    sd: Mapping[str, np.ndarray],
+    config: VAEConfig,
+    *,
+    consumed: set[str] | None = None,
 ) -> dict:
-    """diffusers AutoencoderKL state dict -> flax params (models/vae.py)."""
+    """diffusers AutoencoderKL state dict -> flax params (models/vae.py).
+
+    `consumed` records read keys like convert_dit_state_dict's — catches
+    e.g. a quant_conv/post_quant_conv pair (non-Flux AutoencoderKLs) that
+    this Flux-shaped converter would otherwise silently drop."""
     sd = strip_prefixes(sd)
+    if consumed is not None:
+        sd = _KeyRecorder(sd)
+        sd.consumed = consumed
     n_blocks = len(config.block_out_channels)
     enc: dict[str, Any] = {"conv_in": _conv(sd, "encoder.conv_in")}
     for i in range(n_blocks):

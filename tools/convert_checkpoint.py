@@ -77,6 +77,12 @@ def parse_args(argv=None):
     p.add_argument("--text_encoder_dir", type=str, default=None)
     p.add_argument("--tokenizer_dir", type=str, default=None)
     p.add_argument("--test_image", action="store_true")
+    p.add_argument("--strict", action="store_true",
+                   help="fail (instead of warn) when the source ships "
+                        "keys the conversion doesn't consume or lacks "
+                        "keys the config implies — a loud replacement "
+                        "for the reference's silent strict=False load "
+                        "(pt.py:98-101); see convert/manifest.py")
     return p.parse_args(argv)
 
 
@@ -255,6 +261,7 @@ def main(argv=None):
         cross_attn_input_size=args.cross_attn_input_size,
         residual_v=args.residual_v,
         train_bias_and_rms=args.train_bias_and_rms,
+        strict="error" if args.strict else None,
     )
 
     if args.test_image:
