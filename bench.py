@@ -101,37 +101,28 @@ def _device_watchdog(timeout_s: float) -> None:
     done.set()
 
 
-def main():
+def bench_dit(model_name: str, quantized: bool, gi, *, steps: int,
+              height: int, width: int, batch: int) -> dict:
+    """p50 for one serving mode: 30-step CFG denoise scan + VAE decode +
+    uint8 host copy. Params are zero/one-filled (values don't change TPU
+    kernel timing); all device buffers are dropped before returning so
+    modes can run back-to-back on one 16 GB chip."""
+    import gc
+
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    _device_watchdog(float(os.environ.get("F_LITE_BENCH_DEVICE_TIMEOUT",
-                                          "600")))
     from f_lite_tpu.models.dit import DiT, DiTConfig
     from f_lite_tpu.models.vae import AutoencoderKL, VAEConfig
-    from f_lite_tpu.utils.env import enable_compilation_cache
-
-    enable_compilation_cache()
     from f_lite_tpu.sampling.euler import (
         DenoiseSettings,
         auto_steps_per_dispatch,
         make_denoise_fn,
     )
 
-    steps = int(os.environ["F_LITE_BENCH_STEPS"])
-    height = width = int(os.environ.get("F_LITE_BENCH_SIZE", "1024"))
-    batch = int(os.environ.get("F_LITE_BENCH_BATCH", "1"))
     dtype = jnp.bfloat16
-
-    # text-encode leg first (own phase; params released before the DiT)
-    encode_p50 = None
-    if os.environ.get("F_LITE_BENCH_E2E", "1") == "1":
-        encode_p50 = bench_text_encode(batch)
-
     # scan_layers: same math/perf as unrolled (verified), 8.8x faster compile
-    quantized = os.environ.get("F_LITE_BENCH_QUANT", "1") == "1"
-    model_name = os.environ.get("F_LITE_BENCH_MODEL", "7b")
     preset = (DiTConfig.f_lite_10b if model_name == "10b"
               else DiTConfig.f_lite_7b)
     cfg = preset(dtype=dtype, param_dtype=dtype,
@@ -172,23 +163,6 @@ def main():
     neg = jnp.zeros_like(pos)
     mask = jnp.ones((batch, text_len), jnp.bool_)
 
-    # F_LITE_BENCH_GI="lo,hi": limited-interval CFG serving preset —
-    # single forward outside the window (quality trade-off quantified in
-    # QUALITY_GI.json via tools/guidance_interval_audit.py)
-    gi_env = os.environ.get("F_LITE_BENCH_GI")
-    gi = None
-    if gi_env:
-        try:  # accept "lo,hi" or the audit tool's "lo:hi"
-            gi = tuple(
-                float(x) for x in gi_env.replace(":", ",").split(",")
-            )
-        except ValueError:
-            gi = ()
-        if len(gi) != 2 or not 0.0 <= gi[0] < gi[1] <= 1.0:
-            raise SystemExit(
-                f"F_LITE_BENCH_GI={gi_env!r}: expected 'lo,hi' with "
-                "0 <= lo < hi <= 1 (e.g. F_LITE_BENCH_GI=0.1,0.9)"
-            )
     settings = DenoiseSettings(num_inference_steps=steps, guidance_scale=6.0,
                                guidance_interval=gi)
     spd_env = os.environ.get("F_LITE_BENCH_DISPATCH_STEPS")
@@ -258,13 +232,93 @@ def main():
         ),
         "p50_seconds_per_image": round(p50 / batch, 3),
         "mode": mode,
+        "model": model_name,
     }
+    # release device buffers before the next mode claims HBM
+    del params, vae_params, latents, pos, neg, denoise, decode
+    gc.collect()
+    return record
+
+
+def _parse_gi(gi_env: str):
+    try:  # accept "lo,hi" or the audit tool's "lo:hi"
+        gi = tuple(float(x) for x in gi_env.replace(":", ",").split(","))
+    except ValueError:
+        gi = ()
+    if len(gi) != 2 or not 0.0 <= gi[0] < gi[1] <= 1.0:
+        raise SystemExit(
+            f"F_LITE_BENCH_GI={gi_env!r}: expected 'lo,hi' with "
+            "0 <= lo < hi <= 1 (e.g. F_LITE_BENCH_GI=0.1,0.9)"
+        )
+    return gi
+
+
+def main():
+    _device_watchdog(float(os.environ.get("F_LITE_BENCH_DEVICE_TIMEOUT",
+                                          "600")))
+    from f_lite_tpu.utils.env import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    steps = int(os.environ["F_LITE_BENCH_STEPS"])
+    height = width = int(os.environ.get("F_LITE_BENCH_SIZE", "1024"))
+    batch = int(os.environ.get("F_LITE_BENCH_BATCH", "1"))
+
+    # text-encode leg first (own phase; params released before the DiT)
+    encode_p50 = None
+    if os.environ.get("F_LITE_BENCH_E2E", "1") == "1":
+        encode_p50 = bench_text_encode(batch)
+
+    # headline mode (env-overridable, default 7B int8 W8A8 full-CFG)
+    quantized = os.environ.get("F_LITE_BENCH_QUANT", "1") == "1"
+    model_name = os.environ.get("F_LITE_BENCH_MODEL", "7b")
+    gi_env = os.environ.get("F_LITE_BENCH_GI")
+    # F_LITE_BENCH_GI="lo,hi": limited-interval CFG serving preset —
+    # single forward outside the window (quality trade-off quantified in
+    # QUALITY_GI.json via tools/guidance_interval_audit.py)
+    gi = _parse_gi(gi_env) if gi_env else None
+
+    record = bench_dit(model_name, quantized, gi,
+                       steps=steps, height=height, width=width, batch=batch)
     if encode_p50 is not None:
         # full prompt->PNG budget: T5-XXL encode + denoise + decode + host
         record["p50_seconds_text_encode"] = round(encode_p50 / batch, 3)
         record["p50_seconds_per_image_e2e"] = round(
-            (p50 + encode_p50) / batch, 3
+            record["p50_seconds_per_image"] + encode_p50 / batch, 3
         )
+
+    # the full honest matrix: every supported serving mode, so the driver
+    # artifact mechanically guards non-headline modes too (VERDICT r4 #6).
+    # F_LITE_BENCH_MATRIX=0 restores the single-row bench.
+    if os.environ.get("F_LITE_BENCH_MATRIX", "1") == "1":
+        rows = [record]
+        headline_key = (model_name, quantized, gi)
+        for name, quant, row_gi in (
+            ("7b", True, None),          # headline default
+            ("7b", False, None),         # bf16 parity-exact serving
+            ("7b", True, (0.1, 0.9)),    # int8 + limited-interval CFG
+            ("10b", True, None),         # the larger released model
+        ):
+            if (name, quant, row_gi) == headline_key:
+                continue
+            try:
+                rows.append(bench_dit(name, quant, row_gi, steps=steps,
+                                      height=height, width=width,
+                                      batch=batch))
+            except Exception as e:  # noqa: BLE001 — a failed non-headline
+                # row must not kill the headline artifact; record it
+                rows.append({
+                    "model": name,
+                    "mode": ("int8-w8a8" if quant else "bf16")
+                    + (f"+gi{row_gi[0]:g}-{row_gi[1]:g}" if row_gi else ""),
+                    "error": f"{type(e).__name__}: {e}",
+                })
+        record["rows"] = [
+            {k: r.get(k) for k in ("model", "mode", "value",
+                                   "p50_seconds_per_image", "error")
+             if k in r}
+            for r in rows
+        ]
     print(json.dumps(record))
 
 

@@ -227,6 +227,32 @@ class AutoencoderKL(nn.Module):
         return self.decode(z)
 
 
+class IdentityVAE:
+    """Pixel-space stand-in: encode and decode are the identity.
+
+    Lets the training driver (and quality-fixture tooling) run the DiT
+    directly on RGB pixels — `config` mimics the `VAEConfig` surface with
+    spatial_scale 1, latent_channels 3, and shift 0 / scale 1 so
+    `normalize_latents`/`denormalize_latents` are no-ops. Used by the
+    trainer's `--pixel_space` mode (hermetic trained-checkpoint fixtures:
+    samples are directly viewable images, no pretrained VAE needed)."""
+
+    def __init__(self, dtype=jnp.float32):
+        self.config = VAEConfig(
+            latent_channels=3,
+            block_out_channels=(4,),  # spatial_scale == 2**0 == 1
+            scaling_factor=1.0,
+            shift_factor=0.0,
+            dtype=dtype,
+        )
+
+    def init(self, *args, **kwargs):
+        return {}
+
+    def apply(self, params, x, *args, method=None, **kwargs):
+        return x
+
+
 def normalize_latents(latents: jax.Array, cfg: VAEConfig) -> jax.Array:
     """(z - shift) * scale, the training normalization (`train.py:399-404`)."""
     return (latents - cfg.shift_factor) * cfg.scaling_factor

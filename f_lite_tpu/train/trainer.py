@@ -47,6 +47,15 @@ def parse_args(argv=None):
     p.add_argument("--model_width", type=int, default=3072)
     p.add_argument("--model_depth", type=int, default=40)
     p.add_argument("--model_head_dim", type=int, default=256)
+    p.add_argument("--in_channels", type=int, default=16,
+                   help="DiT input channels (16 for VAE latents; 3 with "
+                        "--pixel_space)")
+    p.add_argument("--model_patch_size", type=int, default=2)
+    p.add_argument("--pixel_space", action="store_true",
+                   help="train the DiT directly on RGB pixels (identity "
+                        "VAE, spatial_scale 1) — hermetic quality "
+                        "fixtures whose samples are viewable images; "
+                        "implies --in_channels 3")
     p.add_argument("--rope_base", type=int, default=10_000)
     p.add_argument("--cross_attn_input_size", type=int, default=4096)
     p.add_argument("--mlp_ratio", type=float, default=4.0)
@@ -209,8 +218,8 @@ def build_dit(args, dtype):
     from f_lite_tpu.models.dit import DiT, DiTConfig
 
     cfg = DiTConfig(
-        in_channels=16,
-        patch_size=2,
+        in_channels=3 if args.pixel_space else args.in_channels,
+        patch_size=args.model_patch_size,
         hidden_size=args.model_width,
         depth=args.model_depth,
         num_heads=args.model_width // args.model_head_dim,
@@ -272,9 +281,11 @@ def build_text_encoder(args):
 
 
 def build_vae(args, dtype):
-    from f_lite_tpu.models.vae import AutoencoderKL, VAEConfig
+    from f_lite_tpu.models.vae import AutoencoderKL, IdentityVAE, VAEConfig
     from f_lite_tpu.pipeline import load_params_safetensors
 
+    if getattr(args, "pixel_space", False):
+        return IdentityVAE(dtype=dtype), {}
     if args.vae_path:
         import json
 
@@ -611,7 +622,7 @@ def train(args) -> dict:
     def boxed_init():
         return model.init(
             jax.random.key(args.seed or 0),
-            jnp.zeros((1, lat, lat, 16), dtype),
+            jnp.zeros((1, lat, lat, model.config.in_channels), dtype),
             jnp.zeros((1, text_len, args.cross_attn_input_size), dtype),
             jnp.ones((1, text_len), jnp.bool_),
             jnp.zeros((1,), dtype),
@@ -1118,8 +1129,12 @@ def train(args) -> dict:
             export_model = DiT(_dc.replace(
                 model.config, pipeline_stages=1, pipeline_microbatches=1
             ))
-        export_pipe = FLitePipeline(export_model, eff, vae, vae_params,
-                                    None)
+        # pixel-space runs have no real VAE to serialize: export the DiT
+        # alone (consumers treat a missing vae dir as identity decode)
+        export_vae = None if args.pixel_space else vae
+        export_pipe = FLitePipeline(
+            export_model, eff, export_vae,
+            None if export_vae is None else vae_params, None)
         export_dir = Path(args.output_dir) / "pipeline"
         export_pipe.save_pretrained(export_dir)
         logger.info("exported pipeline to %s", export_dir)

@@ -205,6 +205,32 @@ class TestTrainLoop:
                  seed=0)
         assert len(o.images) == 1
 
+    def test_pixel_space(self, tmp_path):
+        # --pixel_space: identity VAE, DiT trains directly on RGB pixels
+        # (the trained-quality-fixture path; tools/make_shapes_dataset.py)
+        root = _write_parquet_dataset(tmp_path)
+        out = tmp_path / "out"
+        args = parse_args(_base_argv(root, out) + [
+            "--max_steps", "2", "--checkpointing_steps", "100",
+            "--pixel_space", "--export_pipeline",
+        ])
+        result = train(args)
+        assert result["global_step"] == 2
+        cfg = json.loads(
+            (out / "pipeline" / "dit" / "config.json").read_text()
+        )
+        assert cfg["in_channels"] == 3
+        # no VAE to serialize in pixel space: consumers treat the missing
+        # vae dir as identity decode
+        assert not (out / "pipeline" / "vae").exists()
+        from f_lite_tpu.pipeline import FLitePipeline
+
+        pipe = FLitePipeline.from_pretrained(
+            out / "pipeline", load_text_encoder=False
+        )
+        assert pipe.vae is None
+        assert pipe.dit_model.config.in_channels == 3
+
     def test_grad_accumulation(self, tmp_path):
         root = _write_parquet_dataset(tmp_path)
         out = tmp_path / "out"
