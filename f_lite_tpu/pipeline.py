@@ -216,6 +216,87 @@ def _unflatten_params(flat):
     return tree
 
 
+_CS_CHUNK = 4096
+
+
+def _order_checksum_chunks(f, xp):
+    """Per-4096-chunk order-sensitive weighted sums of a flat fp32 vector.
+
+    Returns (nchunk, 2): [:, 0] = sum(f*w) (the checksum), [:, 1] =
+    sum(|f|*w) (the magnitude scale its tolerance is relative to). The
+    weight w is a fixed strictly-positive position-dependent vector, so a
+    within-tensor shuffle perturbs each chunk's checksum by
+    ~sqrt(2*chunk)*rms (percent-level relative to scale) while a faithful
+    fp32 transfer reproduces it to ~1e-6 relative — a >100x separation at
+    the rtol=1e-4 threshold, independent of leaf size (per-leaf whole-sum
+    checksums do NOT have this property: their tolerance grows ~n but the
+    shuffle signal only ~sqrt(n))."""
+    n = f.shape[0]
+    npad = (-n) % _CS_CHUNK
+    if npad:
+        f = xp.pad(f, (0, npad))
+    f = f.reshape(-1, _CS_CHUNK)
+    w = xp.sin(xp.arange(_CS_CHUNK, dtype=f.dtype) * 0.7) + 1.5
+    return xp.stack([(f * w).sum(axis=1), (xp.abs(f) * w).sum(axis=1)],
+                    axis=-1)
+
+
+def _order_checksums_device(tree):
+    """Per-leaf chunked ORDER-SENSITIVE checksums, computed on-device.
+
+    Used to verify device->host transfers during export — a remote-tunnel
+    D2H bug was observed to silently scramble some tensors' contents
+    (same value multiset, shuffled order), producing a structurally valid
+    but functionally garbage artifact."""
+
+    @jax.jit
+    def go(t):
+        return jax.tree.map(
+            lambda x: _order_checksum_chunks(
+                x.astype(jnp.float32).ravel(), jnp
+            ),
+            t,
+        )
+
+    return go(tree)
+
+
+def verify_export_transfer(device_tree, host_tree, *, rtol=1e-4,
+                           atol=1e-5, what="params") -> None:
+    """Raise if the host copy of `device_tree` is not the same tensor data
+    in the same order (see _order_checksum_chunks)."""
+    dev = jax.device_get(_order_checksums_device(device_tree))
+    leaves_d = jax.tree_util.tree_flatten_with_path(dev)[0]
+    leaves_h = {
+        jax.tree_util.keystr(p): l
+        for p, l in jax.tree_util.tree_flatten_with_path(host_tree)[0]
+    }
+    bad = []
+    for p, d in leaves_d:
+        key = jax.tree_util.keystr(p)
+        h = _order_checksum_chunks(
+            np.asarray(leaves_h[key]).astype(np.float32).ravel(), np
+        )
+        err = np.abs(np.asarray(d[:, 0], np.float64) - h[:, 0])
+        tol = rtol * np.maximum(np.asarray(d[:, 1], np.float64),
+                                h[:, 1]) + atol
+        if (err > tol).any():
+            i = int(np.argmax(err - tol))
+            bad.append(
+                f"{key}: chunk {i} device {float(d[i, 0]):.6g} "
+                f"vs host {float(h[i, 0]):.6g}"
+            )
+    if bad:
+        raise RuntimeError(
+            f"export transfer verification FAILED for {len(bad)} {what} "
+            "leaves — the device->host copy scrambled tensor contents "
+            "(known remote-backend D2H bug). Do NOT trust this export; "
+            "re-export from the orbax checkpoint on a CPU host "
+            "(restore + FLitePipeline.save_pretrained). First failures:\n  "
+            + "\n  ".join(bad[:8])
+        )
+
+
 def save_params_safetensors(params, path: Path):
     from safetensors.numpy import save_file
 
@@ -513,8 +594,13 @@ class FLitePipeline:
         for k in ("dtype", "param_dtype"):
             cfg.pop(k, None)
         (path / "dit" / "config.json").write_text(json.dumps(cfg, indent=2))
+        host_dit = jax.tree.map(np.asarray, self.dit_params["params"])
+        # catches the remote-backend D2H scramble before it can produce a
+        # structurally-valid-but-garbage artifact (see verify_export_transfer)
+        verify_export_transfer(self.dit_params["params"], host_dit,
+                               what="dit")
         save_params_safetensors(
-            jax.tree.map(np.asarray, self.dit_params["params"]),
+            host_dit,
             path / "dit" / "flax_params.safetensors",
         )
         if self.vae is not None:
@@ -526,8 +612,11 @@ class FLitePipeline:
             (path / "vae" / "config.json").write_text(
                 json.dumps(vcfg, indent=2)
             )
+            host_vae = jax.tree.map(np.asarray, self.vae_params["params"])
+            verify_export_transfer(self.vae_params["params"], host_vae,
+                                   what="vae")
             save_params_safetensors(
-                jax.tree.map(np.asarray, self.vae_params["params"]),
+                host_vae,
                 path / "vae" / "flax_params.safetensors",
             )
 

@@ -529,3 +529,77 @@ class TestInferenceLoRA:
         c = zero_scale(**kw).images
         assert not np.array_equal(a, b)
         np.testing.assert_array_equal(a, c)
+
+
+class TestExportTransferVerification:
+    """verify_export_transfer: the order-sensitive D2H integrity guard.
+
+    A remote-backend D2H bug was observed (round 5) to silently shuffle
+    tensor contents during `np.asarray` on export — same value multiset,
+    wrong order — yielding a structurally valid but functionally garbage
+    artifact. The guard must accept a faithful host copy and reject a
+    within-tensor shuffle (which permutation-invariant checks like norms
+    cannot see)."""
+
+    def _tree(self):
+        k = jax.random.key(0)
+        return {
+            "a": {"kernel": jax.random.normal(k, (64, 3, 4, 16))},
+            "b": {"bias": jnp.arange(12.0)},
+        }
+
+    def test_faithful_copy_passes(self):
+        from f_lite_tpu.pipeline import verify_export_transfer
+
+        tree = self._tree()
+        host = jax.tree.map(np.asarray, tree)
+        verify_export_transfer(tree, host)  # must not raise
+
+    def test_shuffled_leaf_fails(self):
+        from f_lite_tpu.pipeline import verify_export_transfer
+
+        tree = self._tree()
+        host = jax.tree.map(np.asarray, tree)
+        flat = host["a"]["kernel"].ravel().copy()
+        rng = np.random.RandomState(0)
+        rng.shuffle(flat)  # same multiset, scrambled order
+        host["a"]["kernel"] = flat.reshape(host["a"]["kernel"].shape)
+        with pytest.raises(RuntimeError, match="scrambled"):
+            verify_export_transfer(tree, host)
+
+    def test_save_pretrained_runs_guard(self, tmp_path, monkeypatch):
+        # end-to-end: a corrupting np.asarray at export time must abort
+        # save_pretrained rather than write a garbage artifact
+        import f_lite_tpu.pipeline as plmod
+
+        cfg = DiTConfig(in_channels=4, patch_size=2, hidden_size=64,
+                        depth=2, num_heads=2, cross_attn_input_size=32)
+        model = DiT(cfg)
+        import flax.linen as nn
+
+        params = nn.meta.unbox(model.init(
+            jax.random.key(0),
+            jnp.zeros((1, 8, 8, 4)), jnp.zeros((1, 8, 32)),
+            jnp.ones((1, 8), jnp.bool_), jnp.zeros((1,)),
+        ))
+        pipe = FLitePipeline(model, params, None, None, None)
+        real_tree_map = jax.tree.map
+
+        def corrupting_tree_map(f, tree, *rest):
+            out = real_tree_map(f, tree, *rest)
+            if f is np.asarray:
+                leaves, treedef = jax.tree_util.tree_flatten(out)
+                # largest *non-constant* leaf: shuffling a zero-init
+                # kernel (e.g. adaLN) would be a no-op corruption
+                big = max(range(len(leaves)),
+                          key=lambda i: float(np.var(leaves[i]))
+                          * leaves[i].size)
+                flat = np.asarray(leaves[big]).ravel().copy()
+                np.random.RandomState(0).shuffle(flat)
+                leaves[big] = flat.reshape(leaves[big].shape)
+                out = jax.tree_util.tree_unflatten(treedef, leaves)
+            return out
+
+        monkeypatch.setattr(plmod.jax.tree, "map", corrupting_tree_map)
+        with pytest.raises(RuntimeError, match="scrambled"):
+            pipe.save_pretrained(tmp_path / "exp")
