@@ -350,6 +350,9 @@ class FLitePipeline:
         # disables the auto override — larger-HBM chips can force
         # "direct" at any size.
         self._decode_mode = "auto"  # auto | direct | sliced | tiled
+        # tiled-decode tile edge in LATENT units (64 = the diffusers-
+        # equivalent production tile; smaller values shrink test work)
+        self._tile_latent_size = 64
 
     # ---- memory modes (reference `pipeline.py:85-93`) -------------------
     def enable_vae_slicing(self):
@@ -886,7 +889,10 @@ class FLitePipeline:
         )
         mode = resolve_memory_mode(self._decode_mode, max(z.shape[1:3]))
         if mode == "tiled":
-            decoded = decode_tiled(self.vae, self.vae_params, z)
+            decoded = decode_tiled(
+                self.vae, self.vae_params, z,
+                tile_latent_size=self._tile_latent_size,
+            )
         elif mode == "sliced":
             decoded = decode_sliced(self.vae, self.vae_params, z)
         else:

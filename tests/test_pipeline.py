@@ -440,18 +440,25 @@ class TestInpainting:
 
 
 class TestAutoTiledDecode:
-    def test_large_latents_auto_tile(self, pipe):
-        """>128 latent (>= ~1024px real-model): the default 'auto' decode
-        switches to tiled — a full decode at 2048px wants 16.5 GB of
-        decoder activations (PERF.md). Output must match the direct
-        decode at a size where both run (seams blended, not bit-equal)."""
+    def test_large_latents_auto_tile(self, pipe, monkeypatch):
+        """>AUTO_TILE_LATENTS latent (>= ~1024px real-model): the default
+        'auto' decode switches to tiled — a full decode at 2048px wants
+        16.5 GB of decoder activations (PERF.md). Output must match the
+        direct decode at a size where both run (seams blended, not
+        bit-equal). The threshold and tile edge are scaled down so the
+        test exercises a genuine 3x3 multi-tile blend at 1/13 the pixel
+        count of the real 1024px boundary."""
+        from f_lite_tpu.models import vae as vae_mod
         from f_lite_tpu.models.vae import denormalize_latents
 
-        kw = dict(prompt="t", height=260, width=260, num_inference_steps=1,
+        monkeypatch.setattr(vae_mod, "AUTO_TILE_LATENTS", 16)
+        # pipe is module-scoped: restore the production tile size after
+        monkeypatch.setattr(pipe, "_tile_latent_size", 16)
+        kw = dict(prompt="t", height=72, width=72, num_inference_steps=1,
                   seed=4, output_type="np")
         assert pipe._decode_mode == "auto"
         imgs = pipe(**kw).images
-        assert imgs.shape == (1, 260, 260, 3)
+        assert imgs.shape == (1, 72, 72, 3)
         assert np.isfinite(imgs).all()
         # oracle: direct decode of the same latents
         z = pipe(**{**kw, "return_latents": True}).images
@@ -467,16 +474,22 @@ class TestAutoTiledDecode:
         # amplifies seam deltas far beyond what a trained VAE shows, so
         # bound the aggregate error, not the per-pixel max
         err = np.abs(direct - imgs)
-        assert err.mean() < 0.02 and err.max() < 0.5, (
+        # seam density is ~4x the production 64-latent tiling at this
+        # shrunk 16-latent protocol and the random-weight VAE amplifies
+        # per-tile context differences, so the aggregate bound is looser
+        # than the production-shape one (was mean<0.02 at 260px/64-tile)
+        assert err.mean() < 0.08 and err.max() < 0.6, (
             err.mean(), err.max())
 
-    def test_explicit_mode_respected_over_auto(self, pipe):
+    def test_explicit_mode_respected_over_auto(self, pipe, monkeypatch):
         """An explicitly-set decode mode disables the auto override:
         larger-HBM hardware (v4/v5p) can force a full direct decode at
         any size, and the result is the bit-exact non-tiled decode."""
+        from f_lite_tpu.models import vae as vae_mod
         from f_lite_tpu.models.vae import denormalize_latents
 
-        kw = dict(prompt="t", height=260, width=260, num_inference_steps=1,
+        monkeypatch.setattr(vae_mod, "AUTO_TILE_LATENTS", 16)
+        kw = dict(prompt="t", height=72, width=72, num_inference_steps=1,
                   seed=4, output_type="np")
         pipe._decode_mode = "direct"
         try:

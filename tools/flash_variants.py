@@ -43,7 +43,7 @@ def _round_up(x, m):
 def _kernel(
     len_ref, q_ref, k_ref, v_ref, o_ref, m_scratch, l_scratch, acc_scratch,
     *, scale, num_k_blocks, block_k, masked,
-    prescale, use_exp2, condmask,
+    prescale, use_exp2, condmask, alpha_bf16,
 ):
     bi = pl.program_id(0)
     ki = pl.program_id(3)
@@ -99,7 +99,16 @@ def _kernel(
         else:
             p = jnp.where(key_ok, p, jnp.zeros((), p.dtype))
 
-    alpha = exp_fn(m_prev - m_next)
+    if alpha_bf16:
+        # the correction exp is as expensive as the p exp at bk=128 (both
+        # (bq, 128)-shaped; p's is bf16-packed, alpha's was fp32): compute
+        # it 2x-packed too. alpha <= 1 and multiplies quantities already
+        # carrying bf16-p quantization, so the added 2^-8 relative error
+        # is within the kernel's existing bf16 budget.
+        alpha = exp_fn((m_prev - m_next).astype(jnp.bfloat16)
+                       ).astype(jnp.float32)
+    else:
+        alpha = exp_fn(m_prev - m_next)
     l_corr = alpha * l_prev
     l_next = jnp.sum(p.astype(jnp.float32), axis=1)[:, None] + l_corr
     m_scratch[:] = m_next
@@ -124,7 +133,8 @@ def _kernel(
 
 
 def flash_fwd(q, k, v, *, scale=None, block_q=512, block_k=256,
-              prescale=False, use_exp2=False, condmask=False):
+              prescale=False, use_exp2=False, condmask=False,
+              alpha_bf16=False):
     if scale is None:
         scale = q.shape[-1] ** -0.5
     b, h, lq, d = q.shape
@@ -145,7 +155,7 @@ def flash_fwd(q, k, v, *, scale=None, block_q=512, block_k=256,
     kernel = functools.partial(
         _kernel, scale=scale, num_k_blocks=nk, block_k=block_k,
         masked=masked, prescale=prescale, use_exp2=use_exp2,
-        condmask=condmask,
+        condmask=condmask, alpha_bf16=alpha_bf16,
     )
     q_map = lambda bi, hi, qi, ki, s_: (bi, hi, qi, 0)
     k_map = lambda bi, hi, qi, ki, s_: (bi, hi, ki, 0)
@@ -193,6 +203,9 @@ def main():
         ("exp2", dict(prescale=True, use_exp2=True)),
         ("condmask", dict(prescale=True, use_exp2=True, condmask=True)),
         ("condmask-e", dict(condmask=True)),
+        ("alphabf16", dict(prescale=True, alpha_bf16=True)),
+        ("all", dict(prescale=True, use_exp2=True, condmask=True,
+                     alpha_bf16=True)),
     ]
     # reference output for correctness
     ref = None
