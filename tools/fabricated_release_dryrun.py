@@ -114,6 +114,11 @@ def main(argv=None):
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--keep", action="store_true",
                     help="keep the fabricated snapshot + converted dir")
+    ap.add_argument("--convert_only", action="store_true",
+                    help="stop after fabricate + strict ingest (CPU-only "
+                         "phases); record partial artifact. Re-run without "
+                         "this flag on a chip-healthy host for the serve "
+                         "phase (implies --keep).")
     args = ap.parse_args(argv)
 
     import os
@@ -124,9 +129,10 @@ def main(argv=None):
                      / f"{args.manifest}.json")
     manifest = json.loads(manifest_path.read_text())
     work = Path(args.workdir)
-    if work.exists():
-        shutil.rmtree(work)
     snapshot = work / "snapshot"
+    reuse = (snapshot / "model_index.json").exists() and not args.convert_only
+    if work.exists() and not reuse:
+        shutil.rmtree(work)
 
     report: dict = {
         "manifest": args.manifest,
@@ -134,10 +140,15 @@ def main(argv=None):
         "config": manifest["config"],
         "strict_ingest": "error",
     }
-    print(f"fabricating {args.manifest} at full size ...", flush=True)
-    report.update(fabricate_snapshot(manifest, snapshot, args.seed))
-    print(f"fabricated in {report['fabricate_seconds']}s "
-          f"({report['dit_params'] / 1e9:.2f}B params)", flush=True)
+    if reuse:
+        # serve-phase rerun after a --convert_only pass: the fabricated
+        # snapshot (and its converted cache) are already on disk
+        print(f"reusing fabricated snapshot at {snapshot}", flush=True)
+    else:
+        print(f"fabricating {args.manifest} at full size ...", flush=True)
+        report.update(fabricate_snapshot(manifest, snapshot, args.seed))
+        print(f"fabricated in {report['fabricate_seconds']}s "
+              f"({report['dit_params'] / 1e9:.2f}B params)", flush=True)
 
     from f_lite_tpu.convert.ingest import resolve_pretrained
 
@@ -146,6 +157,12 @@ def main(argv=None):
     report["convert_seconds"] = round(time.time() - t0, 1)
     print(f"converted (strict) in {report['convert_seconds']}s "
           f"-> {converted}", flush=True)
+
+    if args.convert_only:
+        report["status"] = "converted (serve phase pending chip)"
+        Path(args.out).write_text(json.dumps(report, indent=1))
+        print(json.dumps(report, indent=1))
+        return
 
     import jax
     import jax.numpy as jnp
