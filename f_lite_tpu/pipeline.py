@@ -597,11 +597,15 @@ class FLitePipeline:
         for k in ("dtype", "param_dtype"):
             cfg.pop(k, None)
         (path / "dit" / "config.json").write_text(json.dumps(cfg, indent=2))
-        host_dit = jax.tree.map(np.asarray, self.dit_params["params"])
+        import flax.linen as nn
+
+        # tolerate partitioning-boxed trees (raw model.init output):
+        # unbox to plain arrays before serialization
+        dit_tree = nn.meta.unbox(self.dit_params)["params"]
+        host_dit = jax.tree.map(np.asarray, dit_tree)
         # catches the remote-backend D2H scramble before it can produce a
         # structurally-valid-but-garbage artifact (see verify_export_transfer)
-        verify_export_transfer(self.dit_params["params"], host_dit,
-                               what="dit")
+        verify_export_transfer(dit_tree, host_dit, what="dit")
         save_params_safetensors(
             host_dit,
             path / "dit" / "flax_params.safetensors",
@@ -615,9 +619,9 @@ class FLitePipeline:
             (path / "vae" / "config.json").write_text(
                 json.dumps(vcfg, indent=2)
             )
-            host_vae = jax.tree.map(np.asarray, self.vae_params["params"])
-            verify_export_transfer(self.vae_params["params"], host_vae,
-                                   what="vae")
+            vae_tree = nn.meta.unbox(self.vae_params)["params"]
+            host_vae = jax.tree.map(np.asarray, vae_tree)
+            verify_export_transfer(vae_tree, host_vae, what="vae")
             save_params_safetensors(
                 host_vae,
                 path / "vae" / "flax_params.safetensors",
