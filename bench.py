@@ -123,10 +123,21 @@ def bench_dit(model_name: str, quantized: bool, gi, *, steps: int,
 
     dtype = jnp.bfloat16
     # scan_layers: same math/perf as unrolled (verified), 8.8x faster compile
-    preset = (DiTConfig.f_lite_10b if model_name == "10b"
-              else DiTConfig.f_lite_7b)
-    cfg = preset(dtype=dtype, param_dtype=dtype,
-                 scan_layers=True, quantized=quantized)
+    if os.environ.get("F_LITE_BENCH_TINY") == "1":
+        # CI smoke of the full matrix path (CPU-sized model; the numbers
+        # are meaningless, the code path is the thing being tested)
+        cfg = DiTConfig(
+            in_channels=16, patch_size=2, hidden_size=128,
+            depth=4 if model_name == "10b" else 2, num_heads=2,
+            cross_attn_input_size=64, dtype=dtype, param_dtype=dtype,
+            scan_layers=True, quantized=quantized,
+            use_pallas_attention=False,
+        )
+    else:
+        preset = (DiTConfig.f_lite_10b if model_name == "10b"
+                  else DiTConfig.f_lite_7b)
+        cfg = preset(dtype=dtype, param_dtype=dtype,
+                     scan_layers=True, quantized=quantized)
     model = DiT(cfg)
     shapes = jax.eval_shape(
         lambda: model.init_params(jax.random.key(0), text_len=128,
