@@ -107,6 +107,11 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--guidance_scale", type=float, default=6.0)
     ap.add_argument("--size", type=int, default=64)
+    ap.add_argument("--dtype", default="bfloat16",
+                    help="compute dtype. On CPU hosts (chip down) float32 "
+                         "avoids the ~4x bf16-emulation slowdown; all "
+                         "variants share the dtype so the comparative "
+                         "claims are unchanged.")
     args = ap.parse_args(argv)
 
     import jax
@@ -119,6 +124,7 @@ def main(argv=None):
     from f_lite_tpu.utils.image import make_image_grid
 
     pipe = FLitePipeline.from_pretrained(args.pipeline,
+                                         dtype=getattr(jnp, args.dtype),
                                          load_text_encoder=False)
     model = pipe.dit_model
     cfg = model.config
