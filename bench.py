@@ -75,30 +75,37 @@ def bench_text_encode(batch: int, text_len: int = 128) -> float | None:
 def _device_watchdog(timeout_s: float) -> None:
     """Fail fast (instead of hanging forever) if the TPU backend is dead.
 
-    jax.devices() on the remote axon backend blocks in native code when
-    the tunnel is down — uninterruptible from Python. A watchdog thread
-    hard-exits after `timeout_s` so the caller (the round driver) gets a
-    nonzero exit and a message, not a silent multi-hour hang."""
-    import threading
+    Two observed failure modes of the remote axon backend, both blocking
+    in native code: jax.devices() never returns when the tunnel is down,
+    and — seen live — devices() returns normally but the FIRST
+    dispatch/transfer hangs forever. The second hang holds the GIL, so
+    an in-process watchdog thread can never fire (measured: a
+    threading-based guard slept through it). The guard is therefore a
+    subprocess: it shares no GIL, prints a diagnosis to our stderr, and
+    SIGKILLs us at `timeout_s` so the caller (the round driver) gets a
+    fast nonzero exit, not a silent multi-hour hang."""
+    import subprocess
+    import sys
 
-    done = threading.Event()
-
-    def watch():
-        if not done.wait(timeout_s):
-            import sys
-
-            print(
-                f"bench: jax.devices() did not return within {timeout_s:.0f}s"
-                " — TPU backend unreachable (tunnel down?)",
-                file=sys.stderr, flush=True,
-            )
-            os._exit(17)
-
-    threading.Thread(target=watch, daemon=True).start()
+    pid = os.getpid()
+    guard = subprocess.Popen([
+        "/bin/sh", "-c",
+        f"sleep {timeout_s:.0f}; "
+        f"echo 'bench: TPU device probe (jax.devices + one tiny dispatch"
+        f"/D2H) did not finish within {timeout_s:.0f}s — backend hung or"
+        f" tunnel down' >&2; kill -9 {pid}",
+    ])
     import jax
 
     jax.devices()
-    done.set()
+    import jax.numpy as jnp
+
+    ok = float(jnp.sum(jnp.ones((8, 8)))) == 64.0
+    guard.kill()
+    guard.wait()
+    if not ok:
+        print("bench: device probe computed a wrong value", file=sys.stderr)
+        os._exit(18)
 
 
 def bench_dit(model_name: str, quantized: bool, gi, *, steps: int,
