@@ -317,6 +317,18 @@ def _config_kwargs(cls, d: dict) -> dict:
     return {k: v for k, v in d.items() if k in fields}
 
 
+def _scan_expressible(kw: dict) -> bool:
+    """Whether a saved block pattern can run as the scan trunk
+    (the `(depth - first_n) % period == 0` ScanUnit constraint —
+    convert/torch_to_jax.py `to_scan_layout`)."""
+    if kw.get("cross_attn_all", False):
+        return True
+    depth = kw["depth"]
+    first_n = min(kw.get("cross_attn_first_n", 8), depth)
+    period = kw.get("cross_attn_period", 4)
+    return (depth - first_n) % period == 0
+
+
 class FLitePipeline:
     """Composes DiT + VAE + text encoder; see module docstring."""
 
@@ -430,6 +442,7 @@ class FLitePipeline:
         text_encoder: Any | None = None,
         load_text_encoder: bool = True,
         quantize: bool = False,
+        scan_layers: bool | None = None,
         pad_heads_to: int | None = None,
         lora_path: str | Path | None = None,
         lora_alpha: float | None = None,
@@ -437,6 +450,13 @@ class FLitePipeline:
     ) -> "FLitePipeline":
         """`quantize=True`: int8 W8A8 projections (dynamic per-token activation quant) (~1.74x matmul
         speedup on v5e, see f_lite_tpu/quant.py).
+
+        `scan_layers=None` (default): serve with the scan-layer trunk
+        whenever the saved block pattern allows it (restacking unrolled
+        checkpoints at load) — identical math, ~9x faster compile, and
+        the program shape the kernels are tuned in. Pass False to keep
+        an unrolled checkpoint unrolled; checkpoints with LoRA merges
+        stay unrolled automatically (factors attach to unrolled kernels).
 
         `pad_heads_to=N`: zero-pad attention to N heads (exact; see
         DiTConfig.padded_heads) so a tensor-parallel degree that doesn't
@@ -470,13 +490,37 @@ class FLitePipeline:
             cfg_kwargs["padded_heads"] = pad_heads_to
         pp_saved = int(cfg_kwargs.pop("pipeline_stages", 1) or 1)
         cfg_kwargs.pop("pipeline_microbatches", None)
+        # Serving runs the scan trunk whenever the block pattern allows:
+        # identical math to unrolled, ~9x faster XLA compile, and the
+        # fusion context every serving benchmark/kernel tuning ran in
+        # (bench.py; an unrolled 7B program was measured to push the
+        # flash kernel's scoped-VMEM footprint over the 16 MB limit at
+        # 1024px). Ingest-converted checkpoints save the unrolled layout,
+        # so restack at load. LoRA factors attach to unrolled kernels and
+        # must keep the saved layout.
+        saved_scan = bool(cfg_kwargs.get("scan_layers", False)) or pp_saved > 1
+        if scan_layers is None:
+            scan_layers = saved_scan or (
+                lora_path is None and _scan_expressible(cfg_kwargs)
+            )
+        if saved_scan and not scan_layers:
+            raise ValueError(
+                "checkpoint is saved in the scan-stacked layout; "
+                "scan_layers=False would need an unstacking pass that "
+                "serving never uses — load with scan_layers=None/True"
+            )
+        cfg_kwargs["scan_layers"] = bool(scan_layers)
         dit_cfg = DiTConfig(**cfg_kwargs, dtype=dtype, param_dtype=dtype)
         dit = DiT(dit_cfg)
+        raw_dit = load_params_safetensors(
+            path / "dit" / "flax_params.safetensors"
+        )
+        if scan_layers and not saved_scan:
+            from f_lite_tpu.convert.torch_to_jax import to_scan_layout
+
+            raw_dit = to_scan_layout(raw_dit, dit_cfg)
         dit_params = jax.tree.map(
-            lambda x: jnp.asarray(x, dtype),
-            {"params": load_params_safetensors(
-                path / "dit" / "flax_params.safetensors"
-            )},
+            lambda x: jnp.asarray(x, dtype), {"params": raw_dit}
         )
         if pp_saved > 1:
             # a checkpoint saved mid-training with --pp (the trainer's

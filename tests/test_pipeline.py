@@ -170,6 +170,33 @@ class TestSaveLoad:
         b = pipe2(**kw).images
         np.testing.assert_allclose(a, b, atol=1e-5)
 
+    def test_load_defaults_to_scan_trunk(self, pipe, tmp_path):
+        """Unrolled checkpoints restack to the scan trunk at load (the
+        serving fusion context every kernel is tuned in — an unrolled 7B
+        program pushed flash attention over the scoped-VMEM limit at
+        1024px). scan_layers=False keeps the saved layout, identically."""
+        pipe.save_pretrained(tmp_path)
+        saved = json.loads((tmp_path / "dit" / "config.json").read_text())
+        assert saved["scan_layers"] is False  # the on-disk layout
+        kw = dict(dtype=jnp.float32, load_text_encoder=False)
+        scan = FLitePipeline.from_pretrained(tmp_path, **kw)
+        unrolled = FLitePipeline.from_pretrained(
+            tmp_path, scan_layers=False, **kw
+        )
+        assert scan.dit_model.config.scan_layers is True
+        assert unrolled.dit_model.config.scan_layers is False
+        assert "blocks_front" in scan.dit_params["params"]
+        x = jnp.asarray(
+            np.random.RandomState(0).randn(1, 8, 8, 4), jnp.float32)
+        c = jnp.asarray(
+            np.random.RandomState(1).randn(1, 8, 32), jnp.float32)
+        m = jnp.ones((1, 8), bool)
+        t = jnp.full((1,), 0.4, jnp.float32)
+        va = scan.dit_model.apply(scan.dit_params, x, c, m, t)
+        vb = unrolled.dit_model.apply(unrolled.dit_params, x, c, m, t)
+        np.testing.assert_allclose(
+            np.asarray(va), np.asarray(vb), atol=1e-5, rtol=0)
+
 
 class TestCLI:
     def test_generate_cli(self, pipe, tmp_path):
